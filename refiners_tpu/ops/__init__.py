@@ -1,0 +1,10 @@
+"""TPU compute kernels: functional ops backing the fluxion layers.
+
+The layer classes in `refiners_tpu.fluxion.layers` stay thin and declarative;
+the hot math lives here so it can be swapped between a pure-XLA path and
+Pallas kernels without touching model code.
+"""
+
+from refiners_tpu.ops.attention import dot_product_attention, scaled_dot_product_attention
+
+__all__ = ["dot_product_attention", "scaled_dot_product_attention"]

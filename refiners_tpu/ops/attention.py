@@ -1,0 +1,103 @@
+"""Scaled dot-product attention: XLA reference path + Pallas flash kernel.
+
+Replaces the reference's torch-SDPA wrapper and its sliced-attention fallback
+(/root/reference/src/refiners/fluxion/layers/attentions.py:15-155). On TPU the
+flash kernel is blockwise by construction, so "sliced attention" exists only
+for API parity — flash already bounds memory at O(block²) instead of O(L²).
+
+Layout: (batch, num_heads, seq, head_dim) for the 4-D entry points.
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+
+import jax
+import jax.numpy as jnp
+
+# Flash kernel thresholds: below this sequence length the plain XLA path is
+# faster (kernel launch + pipeline overheads dominate) and the L² buffer fits
+# comfortably in VMEM-resident fusions.
+_FLASH_MIN_SEQ = 1024
+
+
+def _xla_attention(
+    q: jax.Array,
+    k: jax.Array,
+    v: jax.Array,
+    mask: jax.Array | None = None,
+    is_causal: bool = False,
+    scale: float | None = None,
+) -> jax.Array:
+    """Plain attention; softmax statistics in float32 for bf16 stability."""
+    d = q.shape[-1]
+    scale = scale if scale is not None else 1.0 / math.sqrt(d)
+    logits = jnp.einsum("...qd,...kd->...qk", q, k, preferred_element_type=jnp.float32) * scale
+    if is_causal:
+        ql, kl = logits.shape[-2], logits.shape[-1]
+        causal = jnp.tril(jnp.ones((ql, kl), dtype=bool), k=kl - ql)
+        logits = jnp.where(causal, logits, -jnp.inf)
+    if mask is not None:
+        if mask.dtype == jnp.bool_:
+            logits = jnp.where(mask, logits, -jnp.inf)
+        else:
+            logits = logits + mask.astype(logits.dtype)
+    weights = jax.nn.softmax(logits, axis=-1).astype(q.dtype)
+    return jnp.einsum("...qk,...kd->...qd", weights, v, preferred_element_type=q.dtype)
+
+
+def dot_product_attention(
+    q: jax.Array,
+    k: jax.Array,
+    v: jax.Array,
+    mask: jax.Array | None = None,
+    is_causal: bool = False,
+    scale: float | None = None,
+    use_flash: bool | None = None,
+) -> jax.Array:
+    """Attention over (B, H, Lq, D)/(B, H, Lk, D) tensors.
+
+    `use_flash=None` auto-selects the Pallas flash kernel for long sequences
+    on TPU; `False` forces the XLA einsum path (used for parity tests).
+    """
+    assert q.ndim == 4, f"expected (B, H, L, D), got {q.shape}"
+    if use_flash is None:
+        use_flash = (
+            q.shape[-2] >= _FLASH_MIN_SEQ
+            and k.shape[-2] >= _FLASH_MIN_SEQ
+            and mask is None
+            and jax.default_backend() != "cpu"
+        )
+    if use_flash:
+        from refiners_tpu.ops.flash_attention import flash_attention
+
+        return flash_attention(q, k, v, is_causal=is_causal, scale=scale)
+    return _xla_attention(q, k, v, mask=mask, is_causal=is_causal, scale=scale)
+
+
+def scaled_dot_product_attention(
+    query: jax.Array,
+    key: jax.Array,
+    value: jax.Array,
+    attn_mask: jax.Array | None = None,
+    is_causal: bool = False,
+) -> jax.Array:
+    """Reference-compatible entry point (attentions.py:15): accepts 3-D
+    (B, L, D) or 4-D (B, H, L, D) tensors."""
+    if query.ndim == 3:
+        out = dot_product_attention(query[:, None], key[:, None], value[:, None], mask=attn_mask, is_causal=is_causal)
+        return out[:, 0]
+    return dot_product_attention(query, key, value, mask=attn_mask, is_causal=is_causal)
+
+
+def split_heads(x: jax.Array, num_heads: int) -> jax.Array:
+    """(B, L, H·D) → (B, H, L, D)."""
+    b, l, d = x.shape
+    return x.reshape(b, l, num_heads, d // num_heads).transpose(0, 2, 1, 3)
+
+
+def merge_heads(x: jax.Array) -> jax.Array:
+    """(B, H, L, D) → (B, L, H·D)."""
+    b, h, l, d = x.transpose(0, 2, 1, 3).shape  # noqa: F841 — readability
+    return x.transpose(0, 2, 1, 3).reshape(x.shape[0], x.shape[2], x.shape[1] * x.shape[3])
