@@ -117,12 +117,14 @@ def gaussian_blur(
     xf = x.astype(jnp.float32)
     wh = jnp.tile(gh.reshape(kh, 1, 1, 1), (1, 1, 1, c))
     ww = jnp.tile(gw.reshape(1, kw, 1, 1), (1, 1, 1, c))
+    # torchvision semantics: reflect-pad, then VALID separable convs
+    xf = jnp.pad(xf, ((0, 0), ((kh - 1) // 2, kh // 2), ((kw - 1) // 2, kw // 2), (0, 0)), mode="reflect")
     xf = jax.lax.conv_general_dilated(
-        xf, wh, (1, 1), [((kh - 1) // 2, kh // 2), (0, 0)],
+        xf, wh, (1, 1), [(0, 0), (0, 0)],
         dimension_numbers=("NHWC", "HWIO", "NHWC"), feature_group_count=c,
     )
     xf = jax.lax.conv_general_dilated(
-        xf, ww, (1, 1), [(0, 0), ((kw - 1) // 2, kw // 2)],
+        xf, ww, (1, 1), [(0, 0), (0, 0)],
         dimension_numbers=("NHWC", "HWIO", "NHWC"), feature_group_count=c,
     )
     return xf.astype(dtype)
