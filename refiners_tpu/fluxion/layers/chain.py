@@ -64,8 +64,13 @@ class Chain(ContextModule):
         super().__init__()
         modules = self._flatten_args(args)
         for module in modules:
+            # a ContextModule must never end up in two chains at once; adapters
+            # freeze the parent pointer (`no_parent_refresh`) during wrapping
             assert (
-                not isinstance(module, ContextModule) or module.parent is None or module.parent is self
+                not isinstance(module, ContextModule)
+                or not module._can_refresh_parent
+                or module.parent is None
+                or module.parent is self
             ), f"{module.__class__.__name__} already has parent {type(module.parent).__name__}"
         self._provider = ContextProvider()
         self._regenerate_keys(modules)
@@ -367,7 +372,7 @@ class Chain(ContextModule):
                 module._set_parent(clone)
         clone._reset_context()
         if hasattr(clone, "_post_structural_copy"):
-            clone._post_structural_copy()
+            clone._post_structural_copy(self)
         return clone
 
     def __repr__(self) -> str:

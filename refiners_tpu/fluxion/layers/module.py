@@ -344,6 +344,21 @@ class ContextModule(Module):
     def get_parents(self) -> "list[Chain]":
         return [self.parent, *self.parent.get_parents()] if self.parent else []
 
+    def no_parent_refresh(self):
+        """Context manager freezing the parent pointer — used by `setup_adapter`
+        so wrapping a target in an adapter chain does not steal its parent."""
+        import contextlib
+
+        @contextlib.contextmanager
+        def _ctx():
+            self._can_refresh_parent = False
+            try:
+                yield
+            finally:
+                self._can_refresh_parent = True
+
+        return _ctx()
+
     def use_context(self, context_name: str) -> dict[str, Any]:
         """Retrieve a context dict from the root provider."""
         context = self.provider.get_context(context_name)
