@@ -14,15 +14,15 @@ from refiners_tpu.fluxion.layers.module import ContextModule
 
 
 class Converter(ContextModule):
-    def __init__(self, device: bool = True, dtype: bool = True) -> None:
+    def __init__(self, set_device: bool = True, set_dtype: bool = True) -> None:
         super().__init__()
-        self.convert_device = device
-        self.convert_dtype = dtype
+        self.set_device = set_device
+        self.set_dtype = set_dtype
 
     def forward(self, *inputs: jax.Array) -> tuple[jax.Array, ...]:
         parent = self.ensure_parent
         dtype = parent.dtype
-        if self.convert_dtype and dtype is not None:
+        if self.set_dtype and dtype is not None:
             return tuple(
                 x.astype(dtype) if jnp.issubdtype(jnp.asarray(x).dtype, jnp.floating) else x for x in inputs
             )

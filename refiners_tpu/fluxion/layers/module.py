@@ -144,11 +144,20 @@ class Module:
     # -- arrays / dtype -----------------------------------------------------
 
     def arrays(self) -> Iterator[tuple[str, jax.Array]]:
-        """Yield (dotted-path, array) for every array leaf, reference key layout."""
+        """Yield (dotted-path, array) for every array leaf.
+
+        Chain children appear under their unique names (reference state-dict
+        layout, e.g. ``Sum.TokenEncoder.weight``) — the internal ``_modules``
+        container does not appear in paths.
+        """
         for k, v in self.__dict__.items():
             if k in self._pytree_ignore:
                 continue
-            yield from _walk_arrays(k, v)
+            if k == "_modules" and isinstance(v, dict):
+                for name, child in v.items():
+                    yield from _walk_arrays(name, child)
+            else:
+                yield from _walk_arrays(k, v)
 
     def state_dict(self) -> dict[str, jax.Array]:
         return dict(self.arrays())
