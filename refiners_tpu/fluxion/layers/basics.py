@@ -157,7 +157,7 @@ class Parameter(WeightedModule):
         super().__init__()
         self.dims = dims
         self.requires_grad = requires_grad
-        self.weight = jax.random.normal(rng.next_key(), dims, dtype=dtype or jnp.float32)
+        self.weight = rng.init_normal(dims, dtype=dtype)
 
     def forward(self, x: jax.Array) -> jax.Array:
         return jnp.broadcast_to(self.weight, (x.shape[0], *self.dims))

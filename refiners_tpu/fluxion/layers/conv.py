@@ -53,14 +53,8 @@ class Conv2d(WeightedModule):
         kh, kw = self.kernel_size
         fan_in = in_channels // groups * kh * kw
         bound = 1.0 / math.sqrt(fan_in)
-        self.weight = jax.random.uniform(
-            rng.next_key(), (kh, kw, in_channels // groups, out_channels), minval=-bound, maxval=bound
-        ).astype(dtype)
-        self.bias = (
-            jax.random.uniform(rng.next_key(), (out_channels,), minval=-bound, maxval=bound).astype(dtype)
-            if use_bias
-            else None
-        )
+        self.weight = rng.init_uniform((kh, kw, in_channels // groups, out_channels), bound, dtype=dtype)
+        self.bias = rng.init_uniform((out_channels,), bound, dtype=dtype) if use_bias else None
 
     def forward(self, x: jax.Array) -> jax.Array:
         if isinstance(self.padding, str):
@@ -119,14 +113,8 @@ class ConvTranspose2d(WeightedModule):
         kh, kw = self.kernel_size
         fan_in = out_channels * kh * kw
         bound = 1.0 / math.sqrt(fan_in)
-        self.weight = jax.random.uniform(
-            rng.next_key(), (kh, kw, in_channels, out_channels), minval=-bound, maxval=bound
-        ).astype(dtype)
-        self.bias = (
-            jax.random.uniform(rng.next_key(), (out_channels,), minval=-bound, maxval=bound).astype(dtype)
-            if use_bias
-            else None
-        )
+        self.weight = rng.init_uniform((kh, kw, in_channels, out_channels), bound, dtype=dtype)
+        self.bias = rng.init_uniform((out_channels,), bound, dtype=dtype) if use_bias else None
 
     def forward(self, x: jax.Array) -> jax.Array:
         kh, kw = self.kernel_size

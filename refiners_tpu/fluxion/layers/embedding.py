@@ -19,9 +19,7 @@ class Embedding(WeightedModule):
         super().__init__()
         self.num_embeddings = num_embeddings
         self.embedding_dim = embedding_dim
-        self.weight = jax.random.normal(rng.next_key(), (num_embeddings, embedding_dim)).astype(
-            dtype or jnp.float32
-        )
+        self.weight = rng.init_normal((num_embeddings, embedding_dim), dtype=dtype)
 
     def forward(self, x: jax.Array) -> jax.Array:
         return jnp.take(self.weight, x, axis=0)

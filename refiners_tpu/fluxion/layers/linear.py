@@ -33,16 +33,8 @@ class Linear(WeightedModule):
         self.out_features = out_features
         dtype = dtype or jnp.float32
         bound = 1.0 / math.sqrt(in_features)
-        self.weight = jax.random.uniform(
-            rng.next_key(), (in_features, out_features), minval=-bound, maxval=bound, dtype=jnp.float32
-        ).astype(dtype)
-        self.bias = (
-            jax.random.uniform(rng.next_key(), (out_features,), minval=-bound, maxval=bound, dtype=jnp.float32).astype(
-                dtype
-            )
-            if bias
-            else None
-        )
+        self.weight = rng.init_uniform((in_features, out_features), bound, dtype=dtype)
+        self.bias = rng.init_uniform((out_features,), bound, dtype=dtype) if bias else None
 
     def forward(self, x: jax.Array) -> jax.Array:
         y = jnp.dot(x, self.weight.astype(x.dtype), preferred_element_type=x.dtype)
