@@ -21,7 +21,13 @@ class _RngStream:
         self._np = np.random.default_rng(seed)
 
     def next(self) -> jax.Array:
-        self._key, sub = jax.random.split(self._key)
+        new_key, sub = jax.random.split(self._key)
+        if isinstance(new_key, jax.core.Tracer):
+            # called during tracing: do NOT store the tracer into global
+            # state (it would leak); the traced subkey is a per-compilation
+            # constant — pass an explicit `key` for varying randomness in jit
+            return sub
+        self._key = new_key
         return sub
 
 

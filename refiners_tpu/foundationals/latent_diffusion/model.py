@@ -106,17 +106,16 @@ class LatentDiffusionModel(fl.Module, ABC):
         self, x: jax.Array, noise: jax.Array, step: int | jax.Array, *, clip_text_embedding: jax.Array, **kwargs: Any
     ) -> jax.Array: ...
 
-    def forward(
+    def predict_noise(
         self,
         x: jax.Array,
         step: int | jax.Array,
         *,
         clip_text_embedding: jax.Array,
         condition_scale: float = 7.5,
-        solver_key: jax.Array | None = None,
         **kwargs: Any,
     ) -> jax.Array:
-        """One denoise step (model.py:128-159)."""
+        """CFG-combined noise prediction for one step (model.py:128-154)."""
         if self.classifier_free_guidance:
             assert clip_text_embedding.shape[0] % 2 == 0, f"invalid batch size: {clip_text_embedding.shape[0]}"
 
@@ -132,10 +131,9 @@ class LatentDiffusionModel(fl.Module, ABC):
             predicted_noise = unconditional_prediction + condition_scale * (
                 conditional_prediction - unconditional_prediction
             )
-            x = x[..., :4]  # support > 4 channels for inpainting (channels-last)
             if self.has_self_attention_guidance():
                 predicted_noise = predicted_noise + self.compute_self_attention_guidance(
-                    x=x,
+                    x=x[..., :4],
                     noise=unconditional_prediction,
                     step=step,
                     clip_text_embedding=clip_text_embedding,
@@ -143,9 +141,66 @@ class LatentDiffusionModel(fl.Module, ABC):
                 )
         else:
             predicted_noise = self.unet(latents)
-            x = x[..., :4]
+        return predicted_noise
 
-        return self.solver(x, predicted_noise=predicted_noise, step=step, key=solver_key)
+    def forward(
+        self,
+        x: jax.Array,
+        step: int | jax.Array,
+        *,
+        clip_text_embedding: jax.Array,
+        condition_scale: float = 7.5,
+        solver_key: jax.Array | None = None,
+        **kwargs: Any,
+    ) -> jax.Array:
+        """One denoise step (model.py:128-159)."""
+        predicted_noise = self.predict_noise(
+            x, step, clip_text_embedding=clip_text_embedding, condition_scale=condition_scale, **kwargs
+        )
+        # keep only the 4 latent channels (inpainting concatenates more)
+        return self.solver(x[..., :4], predicted_noise=predicted_noise, step=step, key=solver_key)
+
+    def diffuse(
+        self,
+        x: jax.Array,
+        *,
+        clip_text_embedding: jax.Array,
+        condition_scale: float = 7.5,
+        key: jax.Array | None = None,
+        **kwargs: Any,
+    ) -> jax.Array:
+        """Full denoising loop as one `lax.scan` — THE jit unit on TPU.
+
+        Wrap in jit with the model as a pytree argument:
+        ``jax.jit(lambda sd, x, emb: sd.diffuse(x, clip_text_embedding=emb))``.
+        The 30-step loop compiles to a single XLA while-op: one device
+        program, no host round-trips between steps.
+        """
+        first = self.solver.first_inference_step
+        num = self.solver.num_inference_steps
+        steps = jnp.arange(first, num)
+        if key is None:
+            key = rng.next_key()
+        keys = jax.random.split(key, num - first)
+        state0 = self.solver.init_state()
+        if isinstance(state0, jax.Array):  # multistep solvers carry a latent-shaped estimate
+            state0 = jnp.broadcast_to(state0, x[..., :4].shape).astype(jnp.float32)
+
+        def body(carry: tuple[jax.Array, jax.Array], inp: tuple[jax.Array, jax.Array]):
+            latents, state = carry
+            step, k = inp
+            noise = self.predict_noise(
+                latents, step, clip_text_embedding=clip_text_embedding, condition_scale=condition_scale, **kwargs
+            )
+            latents4, state = self.solver.step(latents[..., :4], noise, step, state, key=k)
+            if latents.shape[-1] > 4:
+                latents = jnp.concatenate([latents4, latents[..., 4:]], axis=-1)
+            else:
+                latents = latents4
+            return (latents, state), None
+
+        (x, _), _ = jax.lax.scan(body, (x, state0), (steps, keys))
+        return x[..., :4]
 
     def structural_copy(self: TLatentDiffusionModel) -> TLatentDiffusionModel:
         return self.__class__(

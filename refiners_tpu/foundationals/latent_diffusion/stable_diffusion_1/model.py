@@ -145,14 +145,16 @@ class StableDiffusion_1_Inpainting(StableDiffusion_1):
             dtype=dtype,
         )
 
-    def forward(
+    def predict_noise(
         self, x: jax.Array, step: int | jax.Array, *, clip_text_embedding: jax.Array, condition_scale: float = 7.5, **_: Any
     ) -> jax.Array:
         assert self.mask_latents is not None
         assert self.target_image_latents is not None
-        x = jnp.concatenate((x, self.mask_latents, self.target_image_latents), axis=-1)
-        return super().forward(
-            x=x, step=step, clip_text_embedding=clip_text_embedding, condition_scale=condition_scale
+        # concat mask + masked-image latents on the channel axis each step;
+        # works identically under forward() and the scanned diffuse() loop
+        x = jnp.concatenate((x[..., :4], self.mask_latents, self.target_image_latents), axis=-1)
+        return super().predict_noise(
+            x, step, clip_text_embedding=clip_text_embedding, condition_scale=condition_scale
         )
 
     def set_inpainting_conditions(
