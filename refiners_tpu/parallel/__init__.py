@@ -1,0 +1,19 @@
+from refiners_tpu.parallel.mesh import make_mesh
+from refiners_tpu.parallel.sharding import (
+    ATTENTION_TP_RULES,
+    PartitionRule,
+    data_sharding,
+    infer_partition_spec,
+    replicate_module,
+    shard_module,
+)
+
+__all__ = [
+    "make_mesh",
+    "ATTENTION_TP_RULES",
+    "PartitionRule",
+    "data_sharding",
+    "infer_partition_spec",
+    "replicate_module",
+    "shard_module",
+]
