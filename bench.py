@@ -1,10 +1,10 @@
-"""Benchmark: SD1.5 512x512 text-to-image, 30 denoise steps + VAE decode,
-bf16, CFG 7.5, single chip. Prints ONE JSON line.
+"""Benchmark: SDXL 1024x1024 text-to-image, 30 denoise steps + VAE decode,
+bf16, CFG 5.0, single chip — the BASELINE.json north-star configuration.
+Prints ONE JSON line.
 
-The 30-step loop is one jitted lax.scan program; decode is a second jit.
-Baseline (BASELINE.json north star): SDXL 1024^2 >= 1 img/s per v5e-8 chip —
-until SDXL lands in bench, we report SD1.5 512^2 img/s on one chip against a
-1.0 img/s reference point.
+The 30-step loop is one jitted lax.scan program (zero host round-trips
+between steps); runs are chained on data so every iteration is real work.
+North star: >= 1 img/s per v5e-8; vs_baseline is img/s against that 1.0.
 """
 
 from __future__ import annotations
@@ -19,37 +19,43 @@ def main() -> None:
 
     import refiners_tpu.fluxion.layers as fl
     from refiners_tpu.fluxion import manual_seed
-    from refiners_tpu.foundationals.latent_diffusion import DDIM, SD1Autoencoder, SD1UNet, StableDiffusion_1
+    from refiners_tpu.foundationals.latent_diffusion import DDIM, SDXLAutoencoder, SDXLUNet, StableDiffusion_XL
 
     manual_seed(0)
     dtype = jnp.bfloat16
-    sd = StableDiffusion_1(
-        unet=SD1UNet(in_channels=4, dtype=dtype),
-        lda=SD1Autoencoder(dtype=dtype),
-        # the benchmark feeds a precomputed embedding; skip building CLIP
+    sd = StableDiffusion_XL(
+        unet=SDXLUNet(in_channels=4, dtype=dtype),
+        lda=SDXLAutoencoder(dtype=dtype),
+        # the benchmark feeds precomputed embeddings; skip building CLIP
         clip_text_encoder=fl.Chain(fl.Identity()),  # type: ignore[arg-type]
         solver=DDIM(num_inference_steps=30),
     )
 
-    emb = jnp.zeros((2, 77, 768), dtype)
-    x0 = jax.random.normal(jax.random.key(0), (1, 64, 64, 4), dtype)
+    emb = jnp.zeros((2, 77, 2048), dtype)
+    pooled = jnp.zeros((2, 1280), dtype)
+    time_ids = sd.default_time_ids
+    x0 = jax.random.normal(jax.random.key(0), (1, 128, 128, 4), dtype)
 
-    diffuse = jax.jit(lambda m, x, e: m.diffuse(x, clip_text_embedding=e))
+    diffuse = jax.jit(
+        lambda m, x, e, p, t: m.diffuse(
+            x, clip_text_embedding=e, pooled_text_embedding=p, time_ids=t, condition_scale=5.0
+        )
+    )
     decode = jax.jit(lambda lda, z: lda.decode(z))
 
     # warmup / compile
-    z = diffuse(sd, x0, emb)
+    z = diffuse(sd, x0, emb, pooled, time_ids)
     img = decode(sd.lda, z)
     img.block_until_ready()
 
-    # chain each run on the previous output so every iteration is real work
+    # chain runs on previous output so every iteration is real device work
     runs = 3
     x = x0
     t0 = time.perf_counter()
     for _ in range(runs):
-        z = diffuse(sd, x, emb)
+        z = diffuse(sd, x, emb, pooled, time_ids)
         img = decode(sd.lda, z)
-        x = z / 14.6  # renormalize to init-noise scale; keeps the chain honest
+        x = z / 14.6  # renormalize to init-noise scale
     img.block_until_ready()
     dt = (time.perf_counter() - t0) / runs
 
@@ -57,7 +63,7 @@ def main() -> None:
     print(
         json.dumps(
             {
-                "metric": "SD1.5 512x512 30-step txt2img (bf16, CFG, single chip)",
+                "metric": "SDXL 1024x1024 30-step txt2img (bf16, CFG, single v5e chip)",
                 "value": round(value, 4),
                 "unit": "img/s",
                 "vs_baseline": round(value / 1.0, 4),

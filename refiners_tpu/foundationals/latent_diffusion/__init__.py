@@ -19,8 +19,18 @@ from refiners_tpu.foundationals.latent_diffusion.stable_diffusion_1 import (
     StableDiffusion_1,
     StableDiffusion_1_Inpainting,
 )
+from refiners_tpu.foundationals.latent_diffusion.stable_diffusion_xl import (
+    DoubleTextEncoder,
+    SDXLAutoencoder,
+    SDXLUNet,
+    StableDiffusion_XL,
+)
 
 __all__ = [
+    "DoubleTextEncoder",
+    "SDXLAutoencoder",
+    "SDXLUNet",
+    "StableDiffusion_XL",
     "LatentDiffusionAutoencoder",
     "LatentDiffusionModel",
     "DDIM",
