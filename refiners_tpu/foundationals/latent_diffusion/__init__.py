@@ -1,5 +1,9 @@
 from refiners_tpu.foundationals.latent_diffusion.auto_encoder import LatentDiffusionAutoencoder
+from refiners_tpu.foundationals.latent_diffusion.freeu import SDFreeUAdapter
+from refiners_tpu.foundationals.latent_diffusion.lora import SDLoraManager
 from refiners_tpu.foundationals.latent_diffusion.model import LatentDiffusionModel
+from refiners_tpu.foundationals.latent_diffusion.multi_diffusion import DiffusionTarget, MultiDiffusion
+from refiners_tpu.foundationals.latent_diffusion.restart import Restart
 from refiners_tpu.foundationals.latent_diffusion.solvers import (
     DDIM,
     DDPM,
@@ -26,7 +30,27 @@ from refiners_tpu.foundationals.latent_diffusion.stable_diffusion_xl import (
     StableDiffusion_XL,
 )
 
+from refiners_tpu.foundationals.latent_diffusion.stable_diffusion_1 import (
+    SD1ControlnetAdapter,
+    SD1IPAdapter,
+    SD1T2IAdapter,
+)
+from refiners_tpu.foundationals.latent_diffusion.stable_diffusion_xl import (
+    SDXLIPAdapter,
+    SDXLT2IAdapter,
+)
+
 __all__ = [
+    "SDFreeUAdapter",
+    "SDLoraManager",
+    "DiffusionTarget",
+    "MultiDiffusion",
+    "Restart",
+    "SD1ControlnetAdapter",
+    "SD1IPAdapter",
+    "SD1T2IAdapter",
+    "SDXLIPAdapter",
+    "SDXLT2IAdapter",
     "DoubleTextEncoder",
     "SDXLAutoencoder",
     "SDXLUNet",
