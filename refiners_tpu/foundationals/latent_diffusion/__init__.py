@@ -3,7 +3,10 @@ from refiners_tpu.foundationals.latent_diffusion.freeu import SDFreeUAdapter
 from refiners_tpu.foundationals.latent_diffusion.lora import SDLoraManager
 from refiners_tpu.foundationals.latent_diffusion.model import LatentDiffusionModel
 from refiners_tpu.foundationals.latent_diffusion.multi_diffusion import DiffusionTarget, MultiDiffusion
+from refiners_tpu.foundationals.latent_diffusion.ella_adapter import ELLA, ELLAAdapter
+from refiners_tpu.foundationals.latent_diffusion.reference_only_control import ReferenceOnlyControlAdapter
 from refiners_tpu.foundationals.latent_diffusion.restart import Restart
+from refiners_tpu.foundationals.latent_diffusion.style_aligned import StyleAlignedAdapter
 from refiners_tpu.foundationals.latent_diffusion.solvers import (
     DDIM,
     DDPM,
@@ -41,6 +44,10 @@ from refiners_tpu.foundationals.latent_diffusion.stable_diffusion_xl import (
 )
 
 __all__ = [
+    "ELLA",
+    "ELLAAdapter",
+    "ReferenceOnlyControlAdapter",
+    "StyleAlignedAdapter",
     "SDFreeUAdapter",
     "SDLoraManager",
     "DiffusionTarget",

@@ -2,7 +2,14 @@ from refiners_tpu.foundationals.latent_diffusion.stable_diffusion_1.controlnet i
     Controlnet,
     SD1ControlnetAdapter,
 )
+from refiners_tpu.foundationals.latent_diffusion.stable_diffusion_1.ella_adapter import SD1ELLAAdapter
+from refiners_tpu.foundationals.latent_diffusion.stable_diffusion_1.ic_light import ICLight
 from refiners_tpu.foundationals.latent_diffusion.stable_diffusion_1.image_prompt import SD1IPAdapter
+from refiners_tpu.foundationals.latent_diffusion.stable_diffusion_1.multi_upscaler import (
+    MultiUpscaler,
+    UpscalerCheckpoints,
+    UpscalerTarget,
+)
 from refiners_tpu.foundationals.latent_diffusion.stable_diffusion_1.model import (
     SD1Autoencoder,
     StableDiffusion_1,
@@ -17,6 +24,11 @@ from refiners_tpu.foundationals.latent_diffusion.stable_diffusion_1.t2i_adapter 
 from refiners_tpu.foundationals.latent_diffusion.stable_diffusion_1.unet import SD1UNet
 
 __all__ = [
+    "SD1ELLAAdapter",
+    "ICLight",
+    "MultiUpscaler",
+    "UpscalerCheckpoints",
+    "UpscalerTarget",
     "Controlnet",
     "SD1ControlnetAdapter",
     "SD1IPAdapter",

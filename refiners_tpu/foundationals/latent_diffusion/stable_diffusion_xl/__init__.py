@@ -1,4 +1,10 @@
+from refiners_tpu.foundationals.latent_diffusion.stable_diffusion_xl.control_lora import (
+    ControlLora,
+    ControlLoraAdapter,
+)
 from refiners_tpu.foundationals.latent_diffusion.stable_diffusion_xl.image_prompt import SDXLIPAdapter
+from refiners_tpu.foundationals.latent_diffusion.stable_diffusion_xl.lcm import SDXLLcmAdapter
+from refiners_tpu.foundationals.latent_diffusion.stable_diffusion_xl.lcm_lora import add_lcm_lora
 from refiners_tpu.foundationals.latent_diffusion.stable_diffusion_xl.model import (
     SDXLAutoencoder,
     StableDiffusion_XL,
@@ -13,6 +19,10 @@ from refiners_tpu.foundationals.latent_diffusion.stable_diffusion_xl.text_encode
 from refiners_tpu.foundationals.latent_diffusion.stable_diffusion_xl.unet import SDXLUNet
 
 __all__ = [
+    "ControlLora",
+    "ControlLoraAdapter",
+    "SDXLLcmAdapter",
+    "add_lcm_lora",
     "SDXLIPAdapter",
     "SDXLAutoencoder",
     "StableDiffusion_XL",
