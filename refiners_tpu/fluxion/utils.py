@@ -65,17 +65,68 @@ def pad(x: jax.Array, pad: tuple[int, ...] | list[int], value: float = 0.0, mode
     return jnp.pad(x, widths, mode=mode)  # type: ignore[arg-type]
 
 
+def _cubic_kernel(d: np.ndarray, a: float = -0.75) -> np.ndarray:
+    absd = np.abs(d)
+    return np.where(
+        absd <= 1.0,
+        (a + 2) * absd**3 - (a + 3) * absd**2 + 1,
+        np.where(absd < 2.0, a * absd**3 - 5 * a * absd**2 + 8 * a * absd - 4 * a, 0.0),
+    )
+
+
+def _cubic_weights(in_size: int, out_size: int, antialias: bool) -> jax.Array:
+    """(out, in) torch-compatible bicubic weight matrix (a=-0.75, half-pixel).
+
+    Mirrors torch's `_upsample_bicubic2d_aa` windowing; antialias widens the
+    kernel only when downscaling.
+    """
+    scale = in_size / out_size
+    if not antialias:
+        # plain bicubic (a=-0.75): 4 taps around the source position
+        centers = (np.arange(out_size, dtype=np.float64) + 0.5) * scale - 0.5
+        lo = np.floor(centers).astype(np.int64) - 1
+        idx = lo[:, None] + np.arange(4)[None, :]
+        w = _cubic_kernel(centers[:, None] - idx)
+    else:
+        # PIL-compatible antialiased bicubic (a=-0.5), torch's antialias=True
+        kernel_scale = max(scale, 1.0)
+        support = 2.0 * kernel_scale
+        invscale = 1.0 / kernel_scale
+        centers = (np.arange(out_size, dtype=np.float64) + 0.5) * scale
+        xmin = np.maximum((centers - support + 0.5).astype(np.int64), 0)
+        taps = int(np.ceil(support)) * 2 + 1
+        idx = xmin[:, None] + np.arange(taps)[None, :]
+        w = _cubic_kernel((idx - centers[:, None] + 0.5) * invscale, a=-0.5)
+        w = np.where(idx < in_size, w, 0.0)
+    w = w / w.sum(axis=1, keepdims=True)
+    idx = np.clip(idx, 0, in_size - 1)
+    dense = np.zeros((out_size, in_size), dtype=np.float32)
+    for j in range(idx.shape[1]):
+        np.add.at(dense, (np.arange(out_size), idx[:, j]), w[:, j])
+    return jnp.asarray(dense)
+
+
+def _bicubic_resize(x: jax.Array, size: tuple[int, int], antialias: bool) -> jax.Array:
+    """Separable bicubic resize of NHWC matching torch's `bicubic` (a=-0.75)."""
+    h, w = size
+    wh = _cubic_weights(x.shape[1], h, antialias)
+    ww = _cubic_weights(x.shape[2], w, antialias)
+    y = jnp.einsum("oh,bhwc->bowc", wh, x.astype(jnp.float32))
+    return jnp.einsum("ow,bhwc->bhoc", ww, y).transpose(0, 1, 2, 3)
+
+
 def interpolate(
     x: jax.Array,
     size: tuple[int, int],
     mode: str = "nearest",
     antialias: bool = False,
 ) -> jax.Array:
-    """Resize NHWC `x` to spatial `size` (utils.py:34)."""
+    """Resize NHWC `x` to spatial `size` (utils.py:34); torch conventions."""
+    if mode == "bicubic":
+        return _bicubic_resize(x, size, antialias).astype(x.dtype)
     method = {
         "nearest": "nearest",
         "bilinear": "linear",
-        "bicubic": "cubic",
         "lanczos": "lanczos3",
     }[mode]
     out_shape = (x.shape[0], size[0], size[1], x.shape[3])
