@@ -52,14 +52,12 @@ def no_grad() -> Iterator[None]:
 
 
 def pad(x: jax.Array, pad: tuple[int, ...] | list[int], value: float = 0.0, mode: str = "constant") -> jax.Array:
-    """torch-style pad: pairs apply to trailing *spatial* dims of NHWC, i.e.
-    (left, right, top, bottom) pads W (axis -2 of HWC) then H (utils.py:30)."""
+    """torch.nn.functional.pad semantics: pairs apply to trailing dims, last
+    dim first (utils.py:30)."""
     widths = [(0, 0)] * x.ndim
     pairs = [tuple(pad[i : i + 2]) for i in range(0, len(pad), 2)]
-    # NHWC: first pair → W axis (ndim-2), second pair → H axis (ndim-3)
     for i, pair in enumerate(pairs):
-        axis = x.ndim - 2 - i
-        widths[axis] = pair  # type: ignore[call-overload]
+        widths[x.ndim - 1 - i] = pair  # type: ignore[call-overload]
     if mode == "constant":
         return jnp.pad(x, widths, constant_values=value)
     return jnp.pad(x, widths, mode=mode)  # type: ignore[arg-type]
