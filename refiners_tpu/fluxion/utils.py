@@ -122,8 +122,12 @@ def interpolate(
     """Resize NHWC `x` to spatial `size` (utils.py:34); torch conventions."""
     if mode == "bicubic":
         return _bicubic_resize(x, size, antialias).astype(x.dtype)
+    if mode == "nearest":
+        # torch's nearest uses floor(i·scale) source indices (no half-pixel shift)
+        h_idx = (np.arange(size[0]) * (x.shape[1] / size[0])).astype(np.int64)
+        w_idx = (np.arange(size[1]) * (x.shape[2] / size[1])).astype(np.int64)
+        return x[:, h_idx][:, :, w_idx]
     method = {
-        "nearest": "nearest",
         "bilinear": "linear",
         "lanczos": "lanczos3",
     }[mode]
