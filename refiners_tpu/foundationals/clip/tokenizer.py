@@ -70,6 +70,7 @@ class CLIPTokenizer(fl.Module):
         "_bpe_ranks",
         "_cache",
         "_pattern",
+        "_native",
     }
 
     def __init__(
@@ -104,6 +105,15 @@ class CLIPTokenizer(fl.Module):
             r"<\|startoftext\|>|<\|endoftext\|>|'s|'t|'re|'ve|'m|'ll|'d|[a-zA-Z]+|[0-9]|(?:[^\s\w]|_)+",
             flags=re.IGNORECASE,
         )
+        # optional native (C++) merge engine; pure-Python fallback otherwise
+        self._native = None
+        try:
+            from refiners_tpu.native.bpe_binding import NativeBPE
+
+            byte_decoder = {v: k for k, v in self._byte_encoder.items()}
+            self._native = NativeBPE(self._encoder, self._bpe_ranks, byte_decoder)
+        except Exception:
+            pass
 
     # -- BPE ----------------------------------------------------------------
 
@@ -133,10 +143,19 @@ class CLIPTokenizer(fl.Module):
     def encode_str(self, text: str) -> list[int]:
         """Text → BPE token ids, without special tokens."""
         text = re.sub(r"\s+", " ", text.lower()).strip()
+        chunks = self._pattern.findall(text)
+        if self._native is not None and not self._cache:
+            # fast path: one FFI call for the whole prompt
+            return self._native.encode_words([c.encode("utf-8") for c in chunks])
         ids: list[int] = []
-        for chunk in self._pattern.findall(text):
+        for chunk in chunks:
             mapped = "".join(self._byte_encoder[b] for b in chunk.encode("utf-8"))
-            ids.extend(self._encoder[sub] for sub in self._bpe(mapped))
+            if mapped in self._cache:  # includes concept tokens
+                ids.extend(self._encoder[sub] for sub in self._cache[mapped])
+            elif self._native is not None:
+                ids.extend(self._native.encode_word(chunk.encode("utf-8")))
+            else:
+                ids.extend(self._encoder[sub] for sub in self._bpe(mapped))
         return ids
 
     def encode(self, text: str, max_length: int | None = None) -> jax.Array:
