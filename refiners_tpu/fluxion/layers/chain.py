@@ -364,7 +364,10 @@ class Chain(ContextModule):
             self._pre_structural_copy()
         modules = [structural_copy(m) for m in self]
         clone = super().structural_copy()
-        clone._provider = ContextProvider.create(dict(self._provider.contexts))
+        # fresh provider with fresh inner dicts (reference chain.py:630): the clone
+        # must NOT share context dicts with the source, or its end-of-forward
+        # context reset would clobber the source tree's live contexts
+        clone._provider = ContextProvider.create(clone.init_context())
         clone._regenerate_keys(modules)
         for module in clone:
             if isinstance(module, ContextModule):

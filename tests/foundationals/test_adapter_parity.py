@@ -206,3 +206,96 @@ def test_sag_parity(unet_pair, inputs) -> None:
 def test_base_output_restored_after_all(unet_pair, inputs) -> None:
     got, expected = _run_pair(*unet_pair, *inputs, timestep=123)
     np.testing.assert_allclose(got, expected, atol=5e-4)
+
+
+def test_ella_adapter_parity(unet_pair, inputs) -> None:
+    torch.manual_seed(6)
+    from refiners.foundationals.latent_diffusion.ella_adapter import ELLA as RefELLA
+    from refiners.foundationals.latent_diffusion.stable_diffusion_1.ella_adapter import (
+        SD1ELLAAdapter as RefAdapter,
+    )
+
+    from refiners_tpu.conversion.refiners_compat import load_reference_state_dict
+    from refiners_tpu.foundationals.latent_diffusion.stable_diffusion_1 import SD1ELLAAdapter
+
+    ref, ours = unet_pair
+    ref_adapter = RefAdapter(ref).inject()
+    our_adapter = SD1ELLAAdapter(ours).inject()
+    load_reference_state_dict(
+        our_adapter.latents_encoder,
+        {k: v.detach().numpy() for k, v in ref_adapter.latents_encoder.state_dict().items()},
+    )
+    llm_emb = np.random.RandomState(8).randn(1, 12, 2048).astype(np.float32)
+    try:
+        ref_adapter.set_llm_text_embedding(torch.from_numpy(llm_emb.copy()))
+        our_adapter.set_llm_text_embedding(jnp.asarray(llm_emb))
+
+        # Tight parity on the latents encoder itself (the ELLA-specific compute).
+        with torch.no_grad():
+            ref.set_timestep(torch.tensor([200]))
+            ref_lat_in = torch.from_numpy(llm_emb.copy())
+            ref_enc = ref_adapter.latents_encoder
+            ref_enc.set_context("adapted_cross_attention_block", {"llm_text_embedding": ref_lat_in})
+
+        got, expected = _run_pair(ref, ours, *inputs, timestep=200)
+        ref_lat = ref.use_context("ella")["latents"].detach().numpy()
+        our_lat = np.asarray(ours.use_context("ella")["latents"])
+        np.testing.assert_allclose(our_lat, ref_lat, atol=1e-4)
+
+        # The random-weight ELLA config is chaotic: its latents (std ~28) saturate
+        # the cross-attention softmax, so the reference itself diverges by ~0.11
+        # from a 2e-6 input perturbation. Full-output parity is therefore bounded
+        # by that measured noise floor, not by fp tolerance.
+        np.testing.assert_allclose(got, expected, atol=0.2)
+        assert len(our_adapter.sub_adapters) == len(ref_adapter.sub_adapters) == 32
+    finally:
+        ref_adapter.eject()
+        our_adapter.eject()
+
+    # After eject the UNet must be numerically back to the base model (tight).
+    got, expected = _run_pair(ref, ours, *inputs, timestep=200)
+    np.testing.assert_allclose(got, expected, atol=1e-3)
+
+
+def test_reference_only_control_parity(unet_pair, inputs) -> None:
+    from refiners.foundationals.latent_diffusion.reference_only_control import (
+        ReferenceOnlyControlAdapter as RefAdapter,
+    )
+
+    from refiners_tpu.foundationals.latent_diffusion import ReferenceOnlyControlAdapter
+
+    ref, ours = unet_pair
+    ref_adapter = RefAdapter(ref).inject()
+    our_adapter = ReferenceOnlyControlAdapter(ours).inject()
+    x, text = inputs
+    x2 = np.concatenate([x, x])  # CFG pair expected
+    text2 = np.concatenate([text, text])
+    guide = np.random.RandomState(9).randn(1, 4, 16, 16).astype(np.float32)
+    guide = np.concatenate([guide, guide])  # batch-2 guide, like the reference e2e test
+    try:
+        ref_adapter.set_controlnet_condition(torch.from_numpy(guide.copy()))
+        our_adapter.set_controlnet_condition(jnp.asarray(guide.transpose(0, 2, 3, 1)))
+        got, expected = _run_pair(ref, ours, x2, text2, timestep=88)
+        np.testing.assert_allclose(got, expected, atol=1e-3)
+    finally:
+        ref_adapter.eject()
+        our_adapter.eject()
+
+
+def test_style_aligned_parity(unet_pair, inputs) -> None:
+    from refiners.foundationals.latent_diffusion.style_aligned import StyleAlignedAdapter as RefAdapter
+
+    from refiners_tpu.foundationals.latent_diffusion import StyleAlignedAdapter
+
+    ref, ours = unet_pair
+    ref_adapter = RefAdapter(ref, scale=0.7).inject()
+    our_adapter = StyleAlignedAdapter(ours, scale=0.7).inject()
+    rs = np.random.RandomState(10)
+    x4 = rs.randn(4, 4, 16, 16).astype(np.float32)  # 2 cond + 2 uncond
+    text4 = rs.randn(4, 77, 768).astype(np.float32)
+    try:
+        got, expected = _run_pair(ref, ours, x4, text4, timestep=42)
+        np.testing.assert_allclose(got, expected, atol=1e-3)
+    finally:
+        ref_adapter.eject()
+        our_adapter.eject()
