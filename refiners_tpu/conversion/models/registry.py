@@ -124,6 +124,63 @@ def _informative_drawings() -> Any:
     return InformativeDrawings()
 
 
+def upstream_recipes() -> dict[str, Any]:
+    """Upstream-format (diffusers/transformers/original-LDM) `KeyMapRecipe`s,
+    keyed by ``<model>/<format>``.
+
+    Mirrors the reference's per-model recipe modules
+    (src/refiners/conversion/models/, 21 modules); our tables are generated
+    from the architecture structure and oracle-tested against the reference's.
+    """
+    from refiners_tpu.conversion.models import adapters, autoencoder, clip_maps, controlnet, diffusion_unet
+    from refiners_tpu.conversion.utils import KeyMapRecipe
+
+    return {
+        "sd15.unet/diffusers": KeyMapRecipe(key_map=diffusion_unet.sd15_unet_diffusers_key_map()),
+        "sd15.unet/civitai": KeyMapRecipe(
+            key_map=diffusion_unet.sd15_unet_civitai_key_map(), key_prefix="model.diffusion_model."
+        ),
+        "sdxl.unet/diffusers": KeyMapRecipe(key_map=diffusion_unet.sdxl_unet_diffusers_key_map()),
+        "sdxl.unet/civitai": KeyMapRecipe(
+            key_map=diffusion_unet.sdxl_unet_civitai_key_map(), key_prefix="model.diffusion_model."
+        ),
+        "autoencoder/diffusers": KeyMapRecipe(
+            key_map=autoencoder.autoencoder_diffusers_key_map(),
+            key_aliases=autoencoder.autoencoder_diffusers_key_aliases(),
+        ),
+        "autoencoder/civitai": KeyMapRecipe(
+            key_map=autoencoder.autoencoder_civitai_key_map(),
+            key_prefix="first_stage_model.",
+            tensor_reshapes=autoencoder.autoencoder_attention_reshapes(),
+        ),
+        "controlnet.sd15/diffusers": KeyMapRecipe(key_map=controlnet.controlnet_sd15_diffusers_key_map()),
+        "clip_text/transformers": KeyMapRecipe(key_map=clip_maps.clip_text_diffusers_key_map()),
+        "clip_text/civitai": KeyMapRecipe(
+            key_map=clip_maps.clip_text_civitai_key_map(),
+            key_prefix="cond_stage_model.transformer.text_model.",
+        ),
+        "clip_image/transformers": KeyMapRecipe(
+            key_map=clip_maps.clip_image_diffusers_key_map(),
+            tensor_reshapes=clip_maps.clip_image_reshapes(),
+        ),
+        "ipadapter.sd15/tencent": KeyMapRecipe(key_map=adapters.ipadapter_sd15_key_map()),
+        "ipadapter.sd15_plus/tencent": KeyMapRecipe(
+            key_map=adapters.ipadapter_sd15_plus_key_map(),
+            tensor_reshapes=adapters.ipadapter_plus_reshapes(16, 768),
+        ),
+        "ipadapter.sdxl/tencent": KeyMapRecipe(key_map=adapters.ipadapter_sdxl_key_map()),
+        "ipadapter.sdxl_plus/tencent": KeyMapRecipe(
+            key_map=adapters.ipadapter_sdxl_plus_key_map(),
+            tensor_reshapes=adapters.ipadapter_plus_reshapes(16, 1280),
+        ),
+        "t2iadapter/tencent": KeyMapRecipe(key_map=adapters.t2iadapter_key_map()),
+        "hq_sam/sysu": KeyMapRecipe(key_map=adapters.hq_sam_key_map()),
+        "preprocessor.informative_drawings/carolineec": KeyMapRecipe(
+            key_map=adapters.informative_drawings_key_map()
+        ),
+    }
+
+
 REGISTRY: dict[str, ModelEntry] = {
     entry.name: entry
     for entry in [

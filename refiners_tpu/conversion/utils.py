@@ -98,6 +98,43 @@ class WeightRecipe:
         return out
 
 
+@dataclass
+class KeyMapRecipe:
+    """Suffix-aware key translation table (reference utils.py:179).
+
+    `key_map` maps source key *stems* (without the ``.weight``/``.bias``
+    suffix) to target stems in the reference layout. Unknown keys are dropped.
+    The translated dict is still in torch tensor layouts — pipe it through
+    `refiners_compat.convert_refiners_state_dict` to reach our layouts.
+    """
+
+    key_map: dict[str, str]
+    key_prefix: str = ""
+    key_aliases: dict[str, str] = field(default_factory=dict)
+    tensor_reshapes: dict[str, tuple[int, ...]] = field(default_factory=dict)
+
+    def translate(self, state: dict[str, Any]) -> dict[str, Any]:
+        out: dict[str, Any] = {}
+        for key, value in state.items():
+            suffix = next(s for s in (".weight", ".bias", "") if key.endswith(s))
+            stem = key.removesuffix(suffix).removeprefix(self.key_prefix)
+            stem = self.key_aliases.get(stem, stem)
+            target = self.key_map.get(stem)
+            if target is None:
+                continue
+            out[target + suffix] = value
+        for key, shape in self.tensor_reshapes.items():
+            if key in out:
+                out[key] = np.asarray(out[key]).reshape(shape)
+        return out
+
+    def convert(self, state: dict[str, Any], target: Any, strict: bool = True) -> dict[str, jax.Array]:
+        """Translate keys, then transform tensor layouts against `target`."""
+        from refiners_tpu.conversion.refiners_compat import convert_refiners_state_dict
+
+        return convert_refiners_state_dict(self.translate(state), target, strict=strict)
+
+
 def convert_state_dict(
     state: dict[str, Any], recipe: WeightRecipe, dtype: jnp.dtype | None = None
 ) -> dict[str, jax.Array]:

@@ -21,6 +21,45 @@ def _patched_version(name: str) -> str:
 
 _md.version = _patched_version
 
+_orig_requires = _md.requires
+
+
+def _patched_requires(name: str):
+    if name == "refiners":
+        # reference conversion/__init__.py gates on the "conversion" extra;
+        # report no requirements so the import proceeds
+        return []
+    return _orig_requires(name)
+
+
+_md.requires = _patched_requires
+
+# reference conversion recipes import the official `segment_anything` package,
+# which is not installed; a permissive stub lets the recipe tables import
+import types as _types
+
+
+def _stub_module(name: str) -> None:
+    if name in sys.modules:
+        return
+    mod = _types.ModuleType(name)
+    def _getattr(attr: str):
+        if attr.startswith("__"):
+            raise AttributeError(attr)
+        if attr[0].islower():
+            return lambda *a, **k: None
+        import torch.nn as _nn
+
+        return type(attr, (_nn.Module,), {})
+
+    mod.__getattr__ = _getattr  # type: ignore[attr-defined]
+    sys.modules[name] = mod
+
+
+_stub_module("segment_anything")
+_stub_module("segment_anything.modeling")
+_stub_module("segment_anything.modeling.common")
+
 
 def reference_available() -> bool:
     try:
