@@ -181,6 +181,19 @@ def upstream_recipes() -> dict[str, Any]:
     }
 
 
+def upstream_converters() -> dict[str, Callable[[dict[str, Any]], dict[str, Any]]]:
+    """Programmatic upstream converters (value transforms beyond key renames),
+    keyed like `upstream_recipes`. Pipe results through
+    `refiners_compat.convert_refiners_state_dict`."""
+    from refiners_tpu.conversion.models import foundationals
+
+    return {
+        "dinov2/facebook": foundationals.convert_dinov2_facebook,
+        "ella/tencent": foundationals.convert_ella_tencent,
+        "mvanet/official": foundationals.convert_mvanet_official,
+    }
+
+
 REGISTRY: dict[str, ModelEntry] = {
     entry.name: entry
     for entry in [
