@@ -40,51 +40,64 @@ def _flash_kernel(
     k_ref,
     v_ref,
     o_ref,
+    m_ref,
+    l_ref,
+    acc_ref,
     *,
     scale: float,
     block_k: int,
     kv_len: int,
     q_len: int,
     block_q: int,
+    num_k_blocks: int,
     is_causal: bool,
 ):
-    """One (head, q-block) program: stream K/V blocks with online softmax."""
+    """One (head, q-block, k-block) program step.
+
+    The grid's k dimension is sequential ("arbitrary"), so the online-softmax
+    statistics live in VMEM scratch and carry across k steps; K/V blocks
+    stream from HBM one (block_k, d) tile at a time — VMEM stays
+    O(block_q·d + block_k·d) regardless of sequence length.
+    """
     q_blk = pl.program_id(1)
+    k_blk = pl.program_id(2)
+
+    @pl.when(k_blk == 0)
+    def _init():
+        m_ref[...] = jnp.full_like(m_ref, _NEG_INF)
+        l_ref[...] = jnp.zeros_like(l_ref)
+        acc_ref[...] = jnp.zeros_like(acc_ref)
+
     q = q_ref[0].astype(jnp.float32) * scale  # (block_q, d)
+    k = k_ref[0].astype(jnp.float32)  # (block_k, d)
+    v = v_ref[0].astype(jnp.float32)
+    s = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    )  # (block_q, block_k)
 
-    num_k_blocks = pl.cdiv(kv_len, block_k)
-    padded_kv = k_ref.shape[1]
+    col = k_blk * block_k + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+    mask = col < kv_len
+    if is_causal:
+        row = q_blk * block_q + jax.lax.broadcasted_iota(jnp.int32, s.shape, 0)
+        mask = jnp.logical_and(mask, col <= row + (kv_len - q_len))
+    s = jnp.where(mask, s, _NEG_INF)
 
-    def body(j, carry):
-        m_prev, l_prev, acc = carry
-        k = k_ref[0, pl.ds(j * block_k, block_k), :].astype(jnp.float32)
-        v = v_ref[0, pl.ds(j * block_k, block_k), :].astype(jnp.float32)
-        s = jax.lax.dot_general(
-            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-        )  # (block_q, block_k)
+    m_prev = m_ref[...][:, :1]
+    l_prev = l_ref[...][:, :1]
+    m_cur = jnp.max(s, axis=-1, keepdims=True)
+    m_new = jnp.maximum(m_prev, m_cur)
+    p = jnp.exp(s - m_new)
+    alpha = jnp.exp(m_prev - m_new)
+    l_new = alpha * l_prev + jnp.sum(p, axis=-1, keepdims=True)
+    acc_ref[...] = acc_ref[...] * alpha + jax.lax.dot_general(
+        p, v, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    )
+    m_ref[...] = jnp.broadcast_to(m_new, m_ref.shape)
+    l_ref[...] = jnp.broadcast_to(l_new, l_ref.shape)
 
-        col = j * block_k + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
-        mask = col < kv_len
-        if is_causal:
-            row = q_blk * block_q + jax.lax.broadcasted_iota(jnp.int32, s.shape, 0)
-            mask = jnp.logical_and(mask, col <= row + (kv_len - q_len))
-        s = jnp.where(mask, s, _NEG_INF)
-
-        m_cur = jnp.max(s, axis=-1, keepdims=True)
-        m_new = jnp.maximum(m_prev, m_cur)
-        p = jnp.exp(s - m_new)
-        alpha = jnp.exp(m_prev - m_new)
-        l_new = alpha * l_prev + jnp.sum(p, axis=-1, keepdims=True)
-        acc = acc * alpha + jax.lax.dot_general(
-            p, v, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
-        )
-        return m_new, l_new, acc
-
-    m0 = jnp.full((q.shape[0], 1), _NEG_INF, dtype=jnp.float32)
-    l0 = jnp.zeros((q.shape[0], 1), dtype=jnp.float32)
-    acc0 = jnp.zeros((q.shape[0], q.shape[1]), dtype=jnp.float32)
-    m, l, acc = jax.lax.fori_loop(0, num_k_blocks, body, (m0, l0, acc0))
-    o_ref[0] = (acc / l).astype(o_ref.dtype)
+    @pl.when(k_blk == num_k_blocks - 1)
+    def _finish():
+        o_ref[0] = (acc_ref[...] / l_ref[...][:, :1]).astype(o_ref.dtype)
 
 
 def _flash_forward(
@@ -109,7 +122,8 @@ def _flash_forward(
         kf = jnp.pad(kf, ((0, 0), (0, lk_pad - lk), (0, d_pad - d)))
         vf = jnp.pad(vf, ((0, 0), (0, lk_pad - lk), (0, d_pad - d)))
 
-    grid = (b * h, lq_pad // block_q)
+    num_k_blocks = lk_pad // block_k
+    grid = (b * h, lq_pad // block_q, num_k_blocks)
     kernel = functools.partial(
         _flash_kernel,
         scale=scale,
@@ -117,18 +131,27 @@ def _flash_forward(
         kv_len=lk,
         q_len=lq,
         block_q=block_q,
+        num_k_blocks=num_k_blocks,
         is_causal=is_causal,
     )
     out = pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=[
-            pl.BlockSpec((1, block_q, d_pad), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, lk_pad, d_pad), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, lk_pad, d_pad), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_q, d_pad), lambda i, j, n: (i, j, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_k, d_pad), lambda i, j, n: (i, n, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_k, d_pad), lambda i, j, n: (i, n, 0), memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, block_q, d_pad), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM),
+        out_specs=pl.BlockSpec((1, block_q, d_pad), lambda i, j, n: (i, j, 0), memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((b * h, lq_pad, d_pad), q.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((block_q, _LANE), jnp.float32),  # running max
+            pltpu.VMEM((block_q, _LANE), jnp.float32),  # running sum
+            pltpu.VMEM((block_q, d_pad), jnp.float32),  # output accumulator
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
         cost_estimate=pl.CostEstimate(
             flops=4 * b * h * lq * lk * d,
             bytes_accessed=(qf.size + kf.size + vf.size) * qf.dtype.itemsize,
