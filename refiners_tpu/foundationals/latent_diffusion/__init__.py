@@ -33,19 +33,27 @@ from refiners_tpu.foundationals.latent_diffusion.stable_diffusion_xl import (
     StableDiffusion_XL,
 )
 
+from refiners_tpu.foundationals.clip.text_encoder import CLIPTextEncoderL
 from refiners_tpu.foundationals.latent_diffusion.stable_diffusion_1 import (
     SD1ControlnetAdapter,
+    SD1ELLAAdapter,
     SD1IPAdapter,
     SD1T2IAdapter,
 )
 from refiners_tpu.foundationals.latent_diffusion.stable_diffusion_xl import (
     SDXLIPAdapter,
+    SDXLLcmAdapter,
     SDXLT2IAdapter,
 )
+from refiners_tpu.foundationals.latent_diffusion.stable_diffusion_xl.control_lora import ControlLoraAdapter
 
 __all__ = [
+    "CLIPTextEncoderL",
+    "ControlLoraAdapter",
     "ELLA",
     "ELLAAdapter",
+    "SD1ELLAAdapter",
+    "SDXLLcmAdapter",
     "ReferenceOnlyControlAdapter",
     "StyleAlignedAdapter",
     "SDFreeUAdapter",
