@@ -5,11 +5,14 @@ from refiners_tpu.training_utils.common import (
     Epoch,
     Iteration,
     Step,
+    TimeUnit,
     TimeValue,
     human_readable_number,
     scoped_seed,
     seed_everything,
 )
+from refiners_tpu.training_utils.neptune import NeptuneConfig, NeptuneMixin
+from refiners_tpu.training_utils.wandb import WandbConfig, WandbMixin
 from refiners_tpu.training_utils.config import (
     BaseConfig,
     LRSchedulerConfig,
@@ -33,7 +36,12 @@ __all__ = [
     "Epoch",
     "Iteration",
     "Step",
+    "TimeUnit",
     "TimeValue",
+    "WandbMixin",
+    "WandbConfig",
+    "NeptuneMixin",
+    "NeptuneConfig",
     "human_readable_number",
     "scoped_seed",
     "seed_everything",
