@@ -81,3 +81,29 @@ def test_sam_box_prompt_matches_reference() -> None:
     inter = np.logical_and(a, b).sum()
     union = np.logical_or(a, b).sum()
     assert union == 0 or inter / union > 0.99
+
+
+@pytest.mark.slow
+def test_hq_sam_adapter_matches_reference() -> None:
+    from refiners.foundationals.segment_anything.hq_sam import HQSAMAdapter as RefHQ
+
+    from refiners_tpu.conversion.refiners_compat import load_reference_state_dict
+    from refiners_tpu.foundationals.segment_anything.hq_sam import HQSAMAdapter
+
+    ref, ours = _small_models(seed=2)
+    torch.manual_seed(7)
+    RefHQ(ref).inject()
+    HQSAMAdapter(ours).inject()
+    # post-injection transfer: covers the HQ token, HQ feature convs and MLP
+    load_reference_state_dict(ours, {k: v.detach().numpy() for k, v in ref.state_dict().items()})
+
+    rs = np.random.RandomState(2)
+    image = Image.fromarray(rs.randint(0, 255, (256, 256, 3), dtype=np.uint8))
+
+    with torch.no_grad():
+        ref_masks, ref_iou, ref_low = ref.predict(image, foreground_points=[(120.0, 120.0)], binarize=False)
+    our_masks, our_iou, our_low = ours.predict(image, foreground_points=[(120.0, 120.0)], binarize=False)
+
+    assert our_masks.shape == tuple(ref_masks.shape)
+    np.testing.assert_allclose(np.asarray(our_low), ref_low.numpy(), atol=5e-3)
+    np.testing.assert_allclose(np.asarray(our_masks), ref_masks.numpy(), atol=2e-2)
