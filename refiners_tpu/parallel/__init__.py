@@ -1,4 +1,5 @@
 from refiners_tpu.parallel.mesh import make_mesh
+from refiners_tpu.parallel.remat import Recompute, apply_remat, remove_remat
 from refiners_tpu.parallel.sharding import (
     ATTENTION_TP_RULES,
     PartitionRule,
@@ -9,6 +10,9 @@ from refiners_tpu.parallel.sharding import (
 )
 
 __all__ = [
+    "Recompute",
+    "apply_remat",
+    "remove_remat",
     "make_mesh",
     "ATTENTION_TP_RULES",
     "PartitionRule",
