@@ -257,3 +257,57 @@ class ControlLoraAdapter(Chain, Adapter[SDXLUNet]):
         condition_encoder_layer.load_state_dict(
             convert_refiners_state_dict(sub, condition_encoder_layer, strict=False), strict=False
         )
+
+    # -- original stability-ai control-lora format ----------------------------
+
+    @staticmethod
+    def sort_original_keys(key: str, /) -> tuple[str, int]:
+        """Suffix-score sort for the original checkpoint's lora keys
+        (reference conversion/models/controllora_sdxl.py:24)."""
+        from refiners_tpu.foundationals.latent_diffusion.lora import SDLoraManager
+
+        if "time_embed" in key:  # time embedding layers come first
+            return ("", -2)
+        if "label_emb" in key:  # then the label embedding
+            return ("", -1)
+        if "proj_out" in key:  # proj_out sorts after its transformer blocks
+            return (key.removesuffix("proj_out") + "transformer_blocks.99.ff.net.2", 10)
+        return SDLoraManager.sort_keys(key)
+
+    def load_original_weights(self, state_dict: dict[str, Any]) -> None:
+        """Load an original stability-ai control-lora checkpoint (LDM key
+        names: lora `.up`/`.down` pairs, `input_hint_block`, `zero_convs`,
+        `middle_block_out`) — reference conversion/models/controllora_sdxl.py:48-160.
+        """
+        import jax.numpy as jnp
+
+        from refiners_tpu.fluxion.adapters.lora import auto_attach_loras
+
+        control_lora = self.control_lora
+
+        # LoRA layers: sorted then shape-matched onto the half-UNet
+        lora_weights = {
+            f"{key}.weight": jnp.asarray(value)
+            for key, value in state_dict.items()
+            if ".up" in key or ".down" in key
+        }
+        loras = Lora.from_dict(self.name, state_dict=lora_weights)
+        loras = {key: loras[key] for key in sorted(loras.keys(), key=ControlLoraAdapter.sort_original_keys)}
+        auto_attach_loras(loras, control_lora, exclude=["ZeroConvolution", "ConditionEncoder"])
+
+        # condition encoder: input_hint_block.{0,2,4,...} are the convs
+        condition_encoder = control_lora.ensure_find(ConditionEncoder)
+        for i, (conv, _) in enumerate(condition_encoder.walk(Conv2d, recurse=True)):
+            w = jnp.asarray(state_dict[f"input_hint_block.{2 * i}.weight"])
+            conv.weight = jnp.transpose(w, (2, 3, 1, 0))  # OIHW → HWIO
+            conv.bias = jnp.asarray(state_dict[f"input_hint_block.{2 * i}.bias"])
+
+        # zero convolutions: zero_convs.{i}.0 taps + middle_block_out.0 last
+        zero_convs = [z.ensure_find(Conv2d) for z in control_lora.layers(ZeroConvolution, recurse=True)]
+        num_down = sum(1 for key in state_dict if key.startswith("zero_convs")) // 2
+        assert len(zero_convs) == num_down + 1, f"{len(zero_convs)} zero convs vs {num_down} down taps + middle"
+        for i, conv in enumerate(zero_convs):
+            stem = f"zero_convs.{i}.0" if i < num_down else "middle_block_out.0"
+            w = jnp.asarray(state_dict[f"{stem}.weight"])
+            conv.weight = jnp.transpose(w, (2, 3, 1, 0))
+            conv.bias = jnp.asarray(state_dict[f"{stem}.bias"])
