@@ -120,15 +120,22 @@ def test_control_lora_original_format_parity() -> None:
     )
 
     checkpoint = _original_checkpoint(ref_adapter.control_lora, seed=11)
-    ref_loras = load_lora_layers("tile", dict(checkpoint), ref_adapter.control_lora)
-    # the reference's conversion flow ejects the adapters for serialization;
-    # re-inject them so the reference forward includes the lora branches
-    from refiners.fluxion.adapters.lora import LoraAdapter as RefLoraAdapter
+    # attach the loras on the reference side via the runtime path (the
+    # conversion module's load_lora_layers ejects the adapters afterwards for
+    # serialization; re-injecting them is not a supported flow and produces
+    # different wiring)
+    from refiners.conversion.models.controllora_sdxl import sort_keys as ref_sort_keys
+    from refiners.fluxion.adapters.lora import Lora as RefLora, auto_attach_loras as ref_auto_attach
 
-    for lora in ref_loras.values():
-        adapter = lora.parent
-        assert isinstance(adapter, RefLoraAdapter)
-        adapter.inject()
+    ref_lora_weights = {
+        f"{k}.weight": v for k, v in checkpoint.items() if ".up" in k or ".down" in k
+    }
+    ref_loras = RefLora.from_dict("tile", ref_lora_weights)
+    ref_loras = {k: ref_loras[k] for k in sorted(ref_loras, key=ref_sort_keys)}
+    failed = ref_auto_attach(
+        ref_loras, ref_adapter.control_lora, exclude=["ZeroConvolution", "ConditionEncoder"]
+    )
+    assert not failed
     load_condition_encoder(dict(checkpoint), ref_adapter.control_lora)
     load_zero_convolutions(dict(checkpoint), ref_adapter.control_lora)
 
