@@ -43,30 +43,34 @@ def main() -> None:
     )
     decode = jax.jit(lambda lda, z: lda.decode(z))
 
-    # warmup / compile
+    # warmup / compile (host-fetch: block_until_ready alone can return at
+    # enqueue time on remote-tunnel backends, so force a device→host readback)
     z = diffuse(sd, x0, emb, pooled, time_ids)
     img = decode(sd.lda, z)
-    img.block_until_ready()
+    float(jnp.sum(img.astype(jnp.float32)))
 
-    # chain runs on previous output so every iteration is real device work
+    # chain each run on the previous outputs (incl. the decoded image) so no
+    # iteration's work can be skipped or overlapped away
     runs = 3
     x = x0
     t0 = time.perf_counter()
     for _ in range(runs):
         z = diffuse(sd, x, emb, pooled, time_ids)
         img = decode(sd.lda, z)
-        x = z / 14.6  # renormalize to init-noise scale
-    img.block_until_ready()
+        x = z / 14.6 + (jnp.mean(img) * 0).astype(dtype)  # renormalize + decode dependency
+    total = float(jnp.sum(x.astype(jnp.float32))) + float(jnp.sum(img.astype(jnp.float32)))
+    assert total == total, "non-finite benchmark output"
     dt = (time.perf_counter() - t0) / runs
 
     value = 1.0 / dt
+    # north star (BASELINE.json): >= 1 img/s per v5e-8, i.e. 0.125 img/s/chip
     print(
         json.dumps(
             {
                 "metric": "SDXL 1024x1024 30-step txt2img (bf16, CFG, single v5e chip)",
                 "value": round(value, 4),
                 "unit": "img/s",
-                "vs_baseline": round(value / 1.0, 4),
+                "vs_baseline": round(value / 0.125, 4),
             }
         )
     )
