@@ -16,12 +16,11 @@ import math
 import jax
 import jax.numpy as jnp
 
-# Flash kernel thresholds: below this sequence length the plain XLA path is
-# faster (kernel launch + pipeline overheads dominate — measured ~30% faster
-# at 1024, par at 4096 on v5e) and the L² buffer fits comfortably in
-# VMEM-resident fusions; at/above it the flash kernel wins on memory and
-# scales to arbitrary lengths (O(block) VMEM).
-_FLASH_MIN_SEQ = 4096
+# Flash kernel threshold, set by end-to-end A/B on a v5e chip with honest
+# host-fetch timing (SDXL 1024², 30-step diffuse): no flash 4.95s, flash at
+# >=4096 4.69s, flash at >=1024 4.57s. Below 1024 the L² buffer fits in
+# VMEM-resident fusions and launch overhead dominates.
+_FLASH_MIN_SEQ = 1024
 
 
 def _xla_attention(
