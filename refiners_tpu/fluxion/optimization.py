@@ -1,0 +1,89 @@
+"""Inference optimization passes (chain surgery, reversible).
+
+TPU-native additions with no reference equivalent: structural rewrites that
+improve how the compiled program maps onto the MXU without changing
+numerics. Apply after adapters are injected; reverse before serializing.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+
+import refiners_tpu.fluxion.layers as fl
+from refiners_tpu.fluxion.layers.attentions import SelfAttention
+from refiners_tpu.fluxion.layers.module import WeightedModule
+
+
+class FusedQKVProjection(WeightedModule):
+    """One (in, 3·inner) matmul replacing a Distribute of three Linears.
+
+    Valid only where the three projections consume the *same* input
+    (self-attention): the MXU sees one wide matmul instead of three narrow
+    ones. `unfuse()` reconstructs the original Linears exactly.
+    """
+
+    def __init__(self, q: fl.Linear, k: fl.Linear, v: fl.Linear) -> None:
+        super().__init__()
+        assert q.in_features == k.in_features == v.in_features
+        assert (q.bias is None) == (k.bias is None) == (v.bias is None)
+        self.in_features = q.in_features
+        self.splits = (q.out_features, q.out_features + k.out_features)
+        self.out_features = q.out_features + k.out_features + v.out_features
+        self.use_bias = q.bias is not None
+        self.weight = jnp.concatenate([q.weight, k.weight, v.weight], axis=1)  # (in, 3·inner)
+        if self.use_bias:
+            self.bias = jnp.concatenate([q.bias, k.bias, v.bias])
+
+    def forward(self, q_in: jax.Array, k_in: jax.Array, v_in: jax.Array) -> tuple[jax.Array, ...]:
+        # precondition (checked at fuse time): self-attention, so all three
+        # inputs are the same traced value — project once, split three ways
+        y = q_in @ self.weight
+        if self.use_bias:
+            y = y + self.bias
+        q, k, v = jnp.split(y, list(self.splits), axis=-1)
+        return (q, k, v)
+
+    def unfuse(self) -> fl.Distribute:
+        linears = []
+        bounds = (0, *self.splits, self.out_features)
+        for i in range(3):
+            lo, hi = bounds[i], bounds[i + 1]
+            linear = fl.Linear(self.in_features, hi - lo, bias=self.use_bias, dtype=self.weight.dtype)
+            linear.weight = self.weight[:, lo:hi]
+            if self.use_bias:
+                linear.bias = self.bias[lo:hi]
+            linears.append(linear)
+        return fl.Distribute(*linears)
+
+
+def fuse_qkv_projections(root: fl.Chain) -> int:
+    """Fuse every eligible self-attention QKV Distribute under `root`.
+
+    Skips attentions whose projections are adapted (e.g. LoRA-wrapped) or
+    otherwise non-plain. Returns the number of fused attentions.
+    """
+    count = 0
+    for attn, _ in list(root.walk(SelfAttention, recurse=True)):
+        distribute = attn.find(fl.Distribute)
+        if distribute is None or len(list(distribute)) != 3:
+            continue
+        q, k, v = list(distribute)
+        if not all(type(m) is fl.Linear for m in (q, k, v)):
+            continue
+        if not (q.in_features == k.in_features == v.in_features and (q.bias is None) == (k.bias is None) == (v.bias is None)):
+            continue
+        attn.replace(distribute, FusedQKVProjection(q, k, v))
+        count += 1
+    return count
+
+
+def unfuse_qkv_projections(root: fl.Chain) -> int:
+    """Reverse `fuse_qkv_projections`."""
+    count = 0
+    for fused, parent in list(root.walk(FusedQKVProjection, recurse=True)):
+        parent.replace(fused, fused.unfuse())
+        count += 1
+    return count
