@@ -1,8 +1,13 @@
-"""Inference optimization passes (chain surgery, reversible).
+"""Inference rewrite passes (chain surgery, reversible).
 
 TPU-native additions with no reference equivalent: structural rewrites that
-improve how the compiled program maps onto the MXU without changing
-numerics. Apply after adapters are injected; reverse before serializing.
+change how the compiled program maps onto the MXU without changing numerics.
+
+Measure before adopting: on a v5e chip the QKV fusion below made SDXL
+30-step diffuse 44% SLOWER (6.56s vs 4.55s) — the wide matmul + split
+defeats XLA's native attention fusions. It is provided because the tradeoff
+is hardware- and shape-dependent (narrow projections on larger-MXU parts can
+go the other way); it is never applied automatically.
 """
 
 from __future__ import annotations
