@@ -29,6 +29,9 @@ from jax.experimental.pallas import tpu as pltpu
 
 _LANE = 128
 _NEG_INF = -1e30
+# default tile sizes; tuned end-to-end on v5e (see bench A/B in git history)
+_BLOCK_Q = 512
+_BLOCK_K = 512
 
 
 def _round_up(x: int, m: int) -> int:
@@ -107,8 +110,8 @@ def _flash_forward(
     lk = k.shape[2]
     scale = scale if scale is not None else 1.0 / math.sqrt(d)
 
-    block_q = min(512, _round_up(lq, _LANE))
-    block_k = min(512, _round_up(lk, _LANE))
+    block_q = min(_BLOCK_Q, _round_up(lq, _LANE))
+    block_k = min(_BLOCK_K, _round_up(lk, _LANE))
     d_pad = _round_up(d, _LANE)
     lq_pad = _round_up(lq, block_q)
     lk_pad = _round_up(lk, block_k)
