@@ -357,6 +357,9 @@ class Chain(ContextModule):
             new_module._set_parent(self)
         if isinstance(old_module, ContextModule):
             old_module._set_parent(old_module_parent)
+        # cascade this chain's live contexts into the new subtree (reference
+        # chain.py:612) so e.g. freshly injected adapters see root contexts
+        self._register_provider()
 
     def structural_copy(self: TChain) -> TChain:
         """Copy the tree structure; weighted leaves are shared (chain.py:614)."""
