@@ -240,9 +240,12 @@ class Module:
         """Return basic (str/int/float/bool) attributes for repr (module.py:101)."""
         import inspect
 
-        init_params = (
-            set(inspect.signature(self.__class__.__init__).parameters.keys()) if init_attrs_only else None
-        )
+        sig = inspect.signature(self.__class__.__init__)
+        init_params = set(sig.parameters.keys()) if init_attrs_only else None
+        # attributes equal to their constructor default are omitted from repr
+        defaults = {
+            k: p.default for k, p in sig.parameters.items() if p.default is not inspect.Parameter.empty
+        }
 
         def is_basic(v: Any) -> bool:
             if isinstance(v, BasicType):  # type: ignore[arg-type]
@@ -255,10 +258,11 @@ class Module:
         for k, v in self.__dict__.items():
             if k.startswith("_"):
                 continue
-            if init_params is not None and k not in init_params:
+            if not is_basic(v):
                 continue
-            if is_basic(v):
-                out[k] = v
+            if init_params is not None and (k not in init_params or v == defaults.get(k)):
+                continue
+            out[k] = v
         return out
 
     def pretty_print(self, depth: int = -1) -> None:
