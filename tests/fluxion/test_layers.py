@@ -246,3 +246,31 @@ def test_gaussian_blur_matches_reference_shape() -> None:
     out = gaussian_blur(x, 5, 1.5)
     assert out.shape == x.shape
     np.testing.assert_allclose(np.asarray(out), np.ones((1, 9, 9, 3)), atol=1e-5)
+
+
+def test_converter_casts_dtype_from_parent() -> None:
+    import jax.numpy as jnp
+
+    import refiners_tpu.fluxion.layers as fl
+
+    chain = fl.Chain(fl.Converter(set_dtype=True), fl.Linear(4, 4, dtype=jnp.bfloat16))
+    x = jnp.ones((1, 4), dtype=jnp.float32)
+    out = chain(x)
+    assert out.dtype == jnp.bfloat16
+
+    # integer inputs pass through uncast
+    conv = chain.ensure_find(fl.Converter)
+    casted = conv(jnp.ones((2,), jnp.int32), jnp.ones((2,), jnp.float32))
+    assert casted[0].dtype == jnp.int32
+    assert casted[1].dtype == jnp.bfloat16
+
+
+def test_converter_noop_without_dtype() -> None:
+    import jax.numpy as jnp
+
+    import refiners_tpu.fluxion.layers as fl
+
+    chain = fl.Chain(fl.Converter(set_dtype=False), fl.Linear(4, 4, dtype=jnp.bfloat16))
+    x = jnp.ones((1, 4), dtype=jnp.float32)
+    conv = chain.ensure_find(fl.Converter)
+    assert conv(x)[0].dtype == jnp.float32
