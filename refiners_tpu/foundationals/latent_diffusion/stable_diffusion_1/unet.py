@@ -27,10 +27,16 @@ from refiners_tpu.foundationals.latent_diffusion.unet import (
 class TimestepEncoder(fl.Passthrough):
     """diffusion/timestep ctx → RangeEncoder → range_adapter ctx (unet.py:16)."""
 
-    def __init__(self, context_key: str = "timestep_embedding", device: Any = None, dtype: Any = None) -> None:
+    def __init__(
+        self,
+        context_key: str = "timestep_embedding",
+        device: Any = None,
+        dtype: Any = None,
+        base_channels: int = 320,
+    ) -> None:
         super().__init__(
             fl.UseContext("diffusion", "timestep"),
-            RangeEncoder(320, 1280, device=device, dtype=dtype),
+            RangeEncoder(base_channels, base_channels * 4, device=device, dtype=dtype),
             fl.SetContext("range_adapter", context_key),
         )
 
@@ -62,43 +68,45 @@ def _res(in_ch: int, out_ch: int, attn: bool, device: Any, dtype: Any, extra: fl
 class DownBlocks(fl.Chain):
     """Conv-in + 3 stages of (res+attn ×2, downsample) + 2 plain res (unet.py:48)."""
 
-    def __init__(self, in_channels: int, device: Any = None, dtype: Any = None):
+    def __init__(self, in_channels: int, device: Any = None, dtype: Any = None, base_channels: int = 320):
         self.in_channels = in_channels
+        c1, c2, c4 = base_channels, base_channels * 2, base_channels * 4
         blocks: list[fl.Module] = [
             fl.Chain(
-                fl.Conv2d(in_channels=in_channels, out_channels=320, kernel_size=3, padding=1, device=device, dtype=dtype)
+                fl.Conv2d(in_channels=in_channels, out_channels=c1, kernel_size=3, padding=1, device=device, dtype=dtype)
             )
         ]
-        channels = [(320, 320), (320, 640), (640, 1280)]
+        channels = [(c1, c1), (c1, c2), (c2, c4)]
         for stage, (cin, cout) in enumerate(channels):
             blocks.append(_res(cin, cout, True, device, dtype))
             blocks.append(_res(cout, cout, True, device, dtype))
             blocks.append(
                 fl.Chain(fl.Downsample(channels=cout, scale_factor=2, padding=1, device=device, dtype=dtype))
             )
-        blocks.append(_res(1280, 1280, False, device, dtype))
-        blocks.append(_res(1280, 1280, False, device, dtype))
+        blocks.append(_res(c4, c4, False, device, dtype))
+        blocks.append(_res(c4, c4, False, device, dtype))
         super().__init__(*blocks)
 
 
 class UpBlocks(fl.Chain):
     """Mirror of DownBlocks with skip-concat channel widths (unet.py:98)."""
 
-    def __init__(self, device: Any = None, dtype: Any = None) -> None:
+    def __init__(self, device: Any = None, dtype: Any = None, base_channels: int = 320) -> None:
+        c = base_channels
         # (in_channels, out_channels, has_attention, upsample_channels|None)
         spec: list[tuple[int, int, bool, int | None]] = [
-            (2560, 1280, False, None),
-            (2560, 1280, False, None),
-            (2560, 1280, False, 1280),
-            (2560, 1280, True, None),
-            (2560, 1280, True, None),
-            (1920, 1280, True, 1280),
-            (1920, 640, True, None),
-            (1280, 640, True, None),
-            (960, 640, True, 640),
-            (960, 320, True, None),
-            (640, 320, True, None),
-            (640, 320, True, None),
+            (c * 8, c * 4, False, None),
+            (c * 8, c * 4, False, None),
+            (c * 8, c * 4, False, c * 4),
+            (c * 8, c * 4, True, None),
+            (c * 8, c * 4, True, None),
+            (c * 6, c * 4, True, c * 4),
+            (c * 6, c * 2, True, None),
+            (c * 4, c * 2, True, None),
+            (c * 3, c * 2, True, c * 2),
+            (c * 3, c * 1, True, None),
+            (c * 2, c * 1, True, None),
+            (c * 2, c * 1, True, None),
         ]
         blocks = [
             _res(
@@ -115,31 +123,38 @@ class UpBlocks(fl.Chain):
 
 
 class MiddleBlock(fl.Chain):
-    def __init__(self, device: Any = None, dtype: Any = None) -> None:
+    def __init__(self, device: Any = None, dtype: Any = None, base_channels: int = 320) -> None:
+        c4 = base_channels * 4
         super().__init__(
-            ResidualBlock(in_channels=1280, out_channels=1280, device=device, dtype=dtype),
-            CLIPLCrossAttention(channels=1280, device=device, dtype=dtype),
-            ResidualBlock(in_channels=1280, out_channels=1280, device=device, dtype=dtype),
+            ResidualBlock(in_channels=c4, out_channels=c4, device=device, dtype=dtype),
+            CLIPLCrossAttention(channels=c4, device=device, dtype=dtype),
+            ResidualBlock(in_channels=c4, out_channels=c4, device=device, dtype=dtype),
         )
 
 
 class SD1UNet(fl.Chain):
-    """SD1.5 U-Net; `in_channels` is 4 (txt2img) or 9 (inpainting) (unet.py:165)."""
+    """SD1.5 U-Net; `in_channels` is 4 (txt2img) or 9 (inpainting) (unet.py:165).
 
-    def __init__(self, in_channels: int, device: Any = None, dtype: Any = None) -> None:
+    `base_channels` (default 320 — the real model) scales every width while
+    keeping the exact block topology and tree paths; reduced widths give a
+    structurally-real model for mesh dryruns and sharding-rule tests.
+    """
+
+    def __init__(self, in_channels: int, device: Any = None, dtype: Any = None, base_channels: int = 320) -> None:
         self.in_channels = in_channels
+        c1 = base_channels
         super().__init__(
-            TimestepEncoder(device=device, dtype=dtype),
-            DownBlocks(in_channels=in_channels, device=device, dtype=dtype),
+            TimestepEncoder(device=device, dtype=dtype, base_channels=base_channels),
+            DownBlocks(in_channels=in_channels, device=device, dtype=dtype, base_channels=base_channels),
             fl.Sum(
                 fl.UseContext(context="unet", key="residuals").compose(lambda x: x[-1]),
-                MiddleBlock(device=device, dtype=dtype),
+                MiddleBlock(device=device, dtype=dtype, base_channels=base_channels),
             ),
-            UpBlocks(device=device, dtype=dtype),
+            UpBlocks(device=device, dtype=dtype, base_channels=base_channels),
             fl.Chain(
-                fl.GroupNorm(channels=320, num_groups=32, device=device, dtype=dtype),
+                fl.GroupNorm(channels=c1, num_groups=32, device=device, dtype=dtype),
                 fl.SiLU(),
-                fl.Conv2d(in_channels=320, out_channels=4, kernel_size=3, stride=1, padding=1, device=device, dtype=dtype),
+                fl.Conv2d(in_channels=c1, out_channels=4, kernel_size=3, stride=1, padding=1, device=device, dtype=dtype),
             ),
         )
         # timestep conditioning on every residual block's first conv (unet.py:206-219)
@@ -148,7 +163,7 @@ class SD1UNet(fl.Chain):
             RangeAdapter2d(
                 target=chain.layer("Conv2d_1", fl.Conv2d),
                 channels=residual_block.out_channels,
-                embedding_dim=1280,
+                embedding_dim=base_channels * 4,
                 context_key="timestep_embedding",
                 device=device,
                 dtype=dtype,

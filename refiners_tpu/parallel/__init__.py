@@ -1,3 +1,4 @@
+from refiners_tpu.parallel.inference import batch_sharding, shard_inputs, shard_latent_diffusion
 from refiners_tpu.parallel.mesh import make_mesh
 from refiners_tpu.parallel.remat import Recompute, apply_remat, remove_remat
 from refiners_tpu.parallel.sharding import (
@@ -16,8 +17,11 @@ __all__ = [
     "make_mesh",
     "ATTENTION_TP_RULES",
     "PartitionRule",
+    "batch_sharding",
     "data_sharding",
     "infer_partition_spec",
     "replicate_module",
+    "shard_inputs",
+    "shard_latent_diffusion",
     "shard_module",
 ]

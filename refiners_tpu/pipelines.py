@@ -1,9 +1,12 @@
 """High-level compiled pipelines.
 
 Convenience wrappers that bundle prompt encoding, the scanned denoising loop
-and VAE decode into cached jit programs, with optional data-parallel sharding
-over a mesh. Models and the step count define the compilation key; prompts,
-seeds and guidance scales are runtime inputs.
+and VAE decode into cached jit programs. Pass a `jax.sharding.Mesh` to run
+data-parallel over the batch (one latent per "data" row, CFG pair split by
+GSPMD) with optional tensor-parallel attention/FF weights — the TPU-native
+scaling path the single-device reference lacks. Models and the step count
+define the compilation key; prompts, seeds and guidance scales are runtime
+inputs.
 """
 
 from __future__ import annotations
@@ -13,6 +16,7 @@ from typing import Any
 
 import jax
 import jax.numpy as jnp
+from jax.sharding import Mesh
 from PIL import Image
 
 from refiners_tpu.fluxion import rng
@@ -27,16 +31,46 @@ class TextToImage:
     Example:
         pipe = TextToImage(sd15)
         image = pipe("a cute cat", negative_prompt="low quality", seed=42)
+
+    Multi-chip: `TextToImage(sdxl, mesh=make_mesh(tensor=1), num_images=8)`
+    DP-shards the 8-image batch over the mesh's "data" axis and (if
+    `tensor>1`) TP-shards attention/FF weights; one jitted scan program per
+    step count, collectives inserted by GSPMD over ICI.
     """
 
     sd: LatentDiffusionModel
     size: tuple[int, int] = (512, 512)
     condition_scale: float | None = None
+    mesh: Mesh | None = None
+    num_images: int = 1
     _compiled: dict[Any, Any] = field(default_factory=dict)
+    _sharded: bool = field(default=False, repr=False)
+
+    def __post_init__(self) -> None:
+        if self.mesh is not None:
+            n_data = self.mesh.shape["data"]
+            assert self.num_images % n_data == 0 or self.num_images == 1, (
+                f"num_images={self.num_images} must divide the data axis ({n_data})"
+            )
 
     @property
     def _is_xl(self) -> bool:
         return isinstance(self.sd, StableDiffusion_XL)
+
+    def _ensure_sharded(self) -> None:
+        if self.mesh is None or self._sharded:
+            return
+        from refiners_tpu.parallel import shard_latent_diffusion
+
+        shard_latent_diffusion(self.sd, self.mesh)
+        self._sharded = True
+
+    def _place(self, *arrays: jax.Array) -> tuple[jax.Array, ...]:
+        if self.mesh is None:
+            return arrays
+        from refiners_tpu.parallel import shard_inputs
+
+        return shard_inputs(self.mesh, *arrays)
 
     def _diffuse_fn(self) -> Any:
         key = ("diffuse", self._is_xl)
@@ -71,15 +105,18 @@ class TextToImage:
         negative_prompt: str = "",
         seed: int | None = None,
         condition_scale: float | None = None,
-    ) -> Image.Image:
+    ) -> Image.Image | list[Image.Image]:
+        """Generate `num_images` images (returns a single Image when 1)."""
         if seed is not None:
             key = jax.random.key(seed)
         else:
             key = rng.next_key()
         noise_key, solver_key = jax.random.split(key)
 
+        self._ensure_sharded()
+        n = self.num_images
         h, w = self.size
-        noise = jax.random.normal(noise_key, (1, h // 8, w // 8, 4), dtype=jnp.float32).astype(
+        noise = jax.random.normal(noise_key, (n, h // 8, w // 8, 4), dtype=jnp.float32).astype(
             self.sd.unet.dtype or jnp.float32
         )
         x = self.sd.solver.scale_model_input(noise, step=-1)
@@ -87,14 +124,22 @@ class TextToImage:
         if self._is_xl:
             scale = condition_scale or self.condition_scale or 5.0
             emb, pooled = self.sd.compute_clip_text_embedding(prompt, negative_prompt)
-            time_ids = self.sd.default_time_ids
+            # (2, ...) [uncond, cond] → (2n, ...) [uncond×n, cond×n]: matches
+            # predict_noise's concatenate((x, x)) CFG batch layout
+            emb = jnp.repeat(emb, n, axis=0)
+            pooled = jnp.repeat(pooled, n, axis=0)
+            time_ids = jnp.repeat(self.sd.default_time_ids, n, axis=0)
+            x, emb, pooled, time_ids = self._place(x, emb, pooled, time_ids)
             z = self._diffuse_fn()(self.sd, x, emb, pooled, time_ids, scale, solver_key)
         else:
             scale = condition_scale or self.condition_scale or 7.5
             emb = self.sd.compute_clip_text_embedding(prompt, negative_prompt)
+            emb = jnp.repeat(emb, n, axis=0)
+            x, emb = self._place(x, emb)
             z = self._diffuse_fn()(self.sd, x, emb, scale, solver_key)
 
         image = self._decode_fn()(self.sd.lda, z)
         from refiners_tpu.fluxion.utils import tensor_to_image
 
-        return tensor_to_image((image + 1) / 2)
+        images = [tensor_to_image((image[i : i + 1] + 1) / 2) for i in range(n)]
+        return images[0] if n == 1 else images

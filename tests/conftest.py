@@ -9,6 +9,9 @@ Set REFINERS_TPU_TEST_DEVICE=tpu to run on a real chip.
 import os
 
 os.environ.setdefault("XLA_FLAGS", "--xla_force_host_platform_device_count=8")
+# persistent XLA compilation cache: full-topology UNet graphs take minutes to
+# compile on the 1-core CPU test box; repeated suite runs hit the cache
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/refiners_tpu_xla_cache")
 
 import jax
 
