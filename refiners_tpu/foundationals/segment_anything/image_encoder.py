@@ -91,21 +91,40 @@ class RelativePositionAttention(fl.WeightedModule):
     def forward(self, x: jax.Array) -> jax.Array:
         batch, height, width, _ = x.shape
         bh = batch * self.num_heads
-        qkv = x.reshape(batch, width * height, 3, self.num_heads, self.head_dim)
-        qkv = qkv.transpose(2, 0, 3, 1, 4).reshape(3, bh, width * height, self.head_dim)
+        seq = width * height
+        qkv = x.reshape(batch, seq, 3, self.num_heads, self.head_dim)
+        qkv = qkv.transpose(2, 0, 3, 1, 4).reshape(3, bh, seq, self.head_dim)
         query, key, value = qkv[0], qkv[1], qkv[2]
 
         h_rel, v_rel = self.compute_relative_embedding(query)
-        logits = jnp.einsum(
-            "bqd,bkd->bqk", query * self.head_dim**-0.5, key, preferred_element_type=jnp.float32
-        )
-        # order of additions matters for bit-parity with the reference
-        logits = (
-            logits.reshape(-1, height, width, height, width) + v_rel.astype(jnp.float32)
-        ) + h_rel.astype(jnp.float32)
-        logits = logits.reshape(bh, height * width, height * width)
-        weights = jax.nn.softmax(logits, axis=-1).astype(x.dtype)
-        out = jnp.einsum("bqk,bkd->bqd", weights, value, preferred_element_type=x.dtype)
+
+        from refiners_tpu.ops.attention import _FLASH_MIN_SEQ
+
+        if seq >= _FLASH_MIN_SEQ and jax.default_backend() != "cpu":
+            # long (global-attention) layers ride the Pallas flash kernel with
+            # the decomposed rel-pos as an additive bias — softmax
+            # intermediates stay O(block²) instead of two O(L²) f32 tensors
+            from refiners_tpu.ops.flash_attention import flash_attention
+
+            bias = (v_rel.astype(jnp.float32) + h_rel.astype(jnp.float32)).reshape(bh, seq, seq)
+            out = flash_attention(
+                query.reshape(batch, self.num_heads, seq, self.head_dim),
+                key.reshape(batch, self.num_heads, seq, self.head_dim),
+                value.reshape(batch, self.num_heads, seq, self.head_dim),
+                bias=bias.reshape(batch, self.num_heads, seq, seq),
+                scale=self.head_dim**-0.5,
+            ).reshape(bh, seq, self.head_dim)
+        else:
+            logits = jnp.einsum(
+                "bqd,bkd->bqk", query * self.head_dim**-0.5, key, preferred_element_type=jnp.float32
+            )
+            # order of additions matters for bit-parity with the reference
+            logits = (
+                logits.reshape(-1, height, width, height, width) + v_rel.astype(jnp.float32)
+            ) + h_rel.astype(jnp.float32)
+            logits = logits.reshape(bh, seq, seq)
+            weights = jax.nn.softmax(logits, axis=-1).astype(x.dtype)
+            out = jnp.einsum("bqk,bkd->bqd", weights, value, preferred_element_type=x.dtype)
         out = out.reshape(batch, self.num_heads, height, width, self.head_dim)
         return out.transpose(0, 2, 3, 1, 4).reshape(batch, height, width, -1)
 

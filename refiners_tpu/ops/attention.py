@@ -67,13 +67,17 @@ def dot_product_attention(
         use_flash = (
             q.shape[-2] >= _FLASH_MIN_SEQ
             and k.shape[-2] >= _FLASH_MIN_SEQ
-            and mask is None
             and jax.default_backend() != "cpu"
         )
     if use_flash:
         from refiners_tpu.ops.flash_attention import flash_attention
 
-        return flash_attention(q, k, v, is_causal=is_causal, scale=scale)
+        bias = mask
+        if bias is not None and bias.dtype == jnp.bool_:
+            # boolean keep-mask → large negative additive bias (the kernel's
+            # online softmax zeroes these positions exactly)
+            bias = jnp.where(bias, 0.0, -1e30).astype(jnp.float32)
+        return flash_attention(q, k, v, bias=bias, is_causal=is_causal, scale=scale)
     return _xla_attention(q, k, v, mask=mask, is_causal=is_causal, scale=scale)
 
 

@@ -1,10 +1,17 @@
-"""Pallas TPU flash attention (forward) with online softmax.
+"""Pallas TPU flash attention with online softmax — forward AND backward.
 
 Design (see /opt/skills/guides/pallas_guide.md):
-- Grid: (batch·heads, Lq/BLOCK_Q). Each program streams K/V for one head in
-  BLOCK_K chunks through VMEM, keeping running max/sum statistics in f32 —
-  memory is O(BLOCK_Q·BLOCK_K), never O(L²). This subsumes the reference's
-  "sliced attention" (attentions.py:135-155) at zero quality cost.
+- Forward grid: (batch·heads, Lq/BLOCK_Q, Lk/BLOCK_K). Each program streams
+  K/V for one head in BLOCK_K chunks through VMEM, keeping running max/sum
+  statistics in f32 scratch — memory is O(BLOCK_Q·BLOCK_K), never O(L²).
+  This subsumes the reference's "sliced attention"
+  (/root/reference/src/refiners/fluxion/layers/attentions.py:135-155) at
+  zero quality cost.
+- Optional ADDITIVE BIAS (B, H, Lq, Lk) streamed blockwise from HBM: lets
+  SAM's decomposed relative-position attention
+  (/root/reference/src/refiners/foundationals/segment_anything/image_encoder.py:58)
+  and additive attention masks ride the kernel — only the bias itself is
+  ever materialized, softmax intermediates stay O(block²).
 - QK^T and PV ride the MXU with f32 accumulation (`preferred_element_type`);
   inputs stay bf16 end-to-end.
 - head_dim is zero-padded to a lane multiple (128) in the wrapper: zero tail
@@ -12,9 +19,11 @@ Design (see /opt/skills/guides/pallas_guide.md):
 - Sequence tails are masked with -inf via static block masks (shapes are
   static under jit, so masks specialize at trace time).
 
-Backward: `flash_attention` carries a custom VJP that recomputes attention
-with the XLA einsum path — correct gradients, flash-fast inference. A fused
-Pallas backward is a planned optimization.
+Backward (no-bias path): fused Pallas kernels — dK/dV with the q-loop
+sequential, dQ with the k-loop sequential — recomputing P blockwise from the
+forward's saved logsumexp, so TRAINING memory is O(L) too (the standard
+flash-attention-2 recipe). With a bias operand the VJP falls back to the
+XLA einsum recompute (O(L²) — bias gradients need the full score matrix).
 """
 
 from __future__ import annotations
@@ -35,21 +44,24 @@ _NEG_INF = -1e30
 # fewer sequential grid steps between scratch carries.
 _BLOCK_Q = 512
 _BLOCK_K = 2048
+# with a streamed f32 bias block in VMEM, keep K blocks smaller
+_BLOCK_K_BIAS = 1024
+# backward blocks: two operands accumulate in f32 scratch, stay conservative
+_BLOCK_Q_BWD = 512
+_BLOCK_K_BWD = 512
 
 
 def _round_up(x: int, m: int) -> int:
     return (x + m - 1) // m * m
 
 
+# ---------------------------------------------------------------------------
+# forward
+# ---------------------------------------------------------------------------
+
+
 def _flash_kernel(
-    q_ref,
-    k_ref,
-    v_ref,
-    o_ref,
-    m_ref,
-    l_ref,
-    acc_ref,
-    *,
+    *refs,
     scale: float,
     block_k: int,
     kv_len: int,
@@ -57,6 +69,7 @@ def _flash_kernel(
     block_q: int,
     num_k_blocks: int,
     is_causal: bool,
+    has_bias: bool,
 ):
     """One (head, q-block, k-block) program step.
 
@@ -65,6 +78,11 @@ def _flash_kernel(
     stream from HBM one (block_k, d) tile at a time — VMEM stays
     O(block_q·d + block_k·d) regardless of sequence length.
     """
+    if has_bias:
+        q_ref, k_ref, v_ref, bias_ref, o_ref, lse_ref, m_ref, l_ref, acc_ref = refs
+    else:
+        q_ref, k_ref, v_ref, o_ref, lse_ref, m_ref, l_ref, acc_ref = refs
+        bias_ref = None
     q_blk = pl.program_id(1)
     k_blk = pl.program_id(2)
 
@@ -80,6 +98,8 @@ def _flash_kernel(
     s = jax.lax.dot_general(
         q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
     )  # (block_q, block_k)
+    if bias_ref is not None:
+        s = s + bias_ref[0].astype(jnp.float32)
 
     col = k_blk * block_k + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
     mask = col < kv_len
@@ -103,18 +123,29 @@ def _flash_kernel(
 
     @pl.when(k_blk == num_k_blocks - 1)
     def _finish():
-        o_ref[0] = (acc_ref[...] / l_ref[...][:, :1]).astype(o_ref.dtype)
+        l_final = l_ref[...][:, :1]
+        o_ref[0] = (acc_ref[...] / l_final).astype(o_ref.dtype)
+        # logsumexp residual for the fused backward (f32); rows fully masked
+        # (sequence padding) have l=0 → lse=-inf, and are sliced away
+        lse_ref[0] = (m_ref[...] + jnp.log(l_ref[...])).astype(jnp.float32)
 
 
 def _flash_forward(
-    q: jax.Array, k: jax.Array, v: jax.Array, is_causal: bool, scale: float | None
-) -> jax.Array:
+    q: jax.Array,
+    k: jax.Array,
+    v: jax.Array,
+    bias: jax.Array | None,
+    is_causal: bool,
+    scale: float | None,
+) -> tuple[jax.Array, jax.Array]:
+    """Returns (out (B,H,Lq,D), lse (B·H, Lq_pad, LANE) f32)."""
     b, h, lq, d = q.shape
     lk = k.shape[2]
     scale = scale if scale is not None else 1.0 / math.sqrt(d)
 
+    max_block_k = _BLOCK_K_BIAS if bias is not None else _BLOCK_K
     block_q = min(_BLOCK_Q, _round_up(lq, _LANE))
-    block_k = min(_BLOCK_K, _round_up(lk, _LANE))
+    block_k = min(max_block_k, _round_up(lk, _LANE))
     d_pad = _round_up(d, _LANE)
     lq_pad = _round_up(lq, block_q)
     lk_pad = _round_up(lk, block_k)
@@ -139,17 +170,35 @@ def _flash_forward(
         block_q=block_q,
         num_k_blocks=num_k_blocks,
         is_causal=is_causal,
+        has_bias=bias is not None,
     )
-    out = pl.pallas_call(
+    in_specs = [
+        pl.BlockSpec((1, block_q, d_pad), lambda i, j, n: (i, j, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, block_k, d_pad), lambda i, j, n: (i, n, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, block_k, d_pad), lambda i, j, n: (i, n, 0), memory_space=pltpu.VMEM),
+    ]
+    operands: list[jax.Array] = [qf, kf, vf]
+    if bias is not None:
+        bias_f = jnp.broadcast_to(bias, (b, h, lq, lk)).reshape(b * h, lq, lk)
+        if lq_pad != lq or lk_pad != lk:
+            bias_f = jnp.pad(bias_f, ((0, 0), (0, lq_pad - lq), (0, lk_pad - lk)))
+        operands.append(bias_f)
+        in_specs.append(
+            pl.BlockSpec((1, block_q, block_k), lambda i, j, n: (i, j, n), memory_space=pltpu.VMEM)
+        )
+
+    out, lse = pl.pallas_call(
         kernel,
         grid=grid,
-        in_specs=[
+        in_specs=in_specs,
+        out_specs=(
             pl.BlockSpec((1, block_q, d_pad), lambda i, j, n: (i, j, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, block_k, d_pad), lambda i, j, n: (i, n, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, block_k, d_pad), lambda i, j, n: (i, n, 0), memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec((1, block_q, d_pad), lambda i, j, n: (i, j, 0), memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((b * h, lq_pad, d_pad), q.dtype),
+            pl.BlockSpec((1, block_q, _LANE), lambda i, j, n: (i, j, 0), memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((b * h, lq_pad, d_pad), q.dtype),
+            jax.ShapeDtypeStruct((b * h, lq_pad, _LANE), jnp.float32),
+        ),
         scratch_shapes=[
             pltpu.VMEM((block_q, _LANE), jnp.float32),  # running max
             pltpu.VMEM((block_q, _LANE), jnp.float32),  # running sum
@@ -163,27 +212,232 @@ def _flash_forward(
             bytes_accessed=(qf.size + kf.size + vf.size) * qf.dtype.itemsize,
             transcendentals=b * h * lq * lk,
         ),
-    )(qf, kf, vf)
-    return out[:, :lq, :d].reshape(b, h, lq, d)
+    )(*operands)
+    return out[:, :lq, :d].reshape(b, h, lq, d), lse
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
+# ---------------------------------------------------------------------------
+# backward (no-bias path): flash-attention-2 recomputation kernels
+# ---------------------------------------------------------------------------
+
+
+def _recompute_p_ds(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, *, scale, block_q, block_k, q_blk, k_blk, q_len, kv_len, is_causal):
+    """Shared blockwise recomputation: returns (p, ds) f32 (block_q, block_k).
+
+    Rows beyond q_len and columns beyond kv_len are forced to zero so padded
+    regions contribute nothing to the accumulated gradients.
+    """
+    q = q_ref[0].astype(jnp.float32) * scale
+    k = k_ref[0].astype(jnp.float32)
+    v = v_ref[0].astype(jnp.float32)
+    do = do_ref[0].astype(jnp.float32)
+    s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32)
+
+    col = k_blk * block_k + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+    row = q_blk * block_q + jax.lax.broadcasted_iota(jnp.int32, s.shape, 0)
+    mask = jnp.logical_and(col < kv_len, row < q_len)
+    if is_causal:
+        mask = jnp.logical_and(mask, col <= row + (kv_len - q_len))
+
+    lse = lse_ref[0][:, :1]  # (block_q, 1) f32
+    p = jnp.where(mask, jnp.exp(s - lse), 0.0)
+    dp = jax.lax.dot_general(do, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32)
+    delta = delta_ref[0][:, :1]
+    ds = p * (dp - delta)
+    return p, ds, q, k, do
+
+
+def _flash_bwd_dkv_kernel(
+    q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, dk_ref, dv_ref, dk_acc, dv_acc,
+    *, scale, block_q, block_k, q_len, kv_len, num_q_blocks, is_causal,
+):
+    k_blk = pl.program_id(1)
+    q_blk = pl.program_id(2)
+
+    @pl.when(q_blk == 0)
+    def _init():
+        dk_acc[...] = jnp.zeros_like(dk_acc)
+        dv_acc[...] = jnp.zeros_like(dv_acc)
+
+    p, ds, q, _k, do = _recompute_p_ds(
+        q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
+        scale=scale, block_q=block_q, block_k=block_k, q_blk=q_blk, k_blk=k_blk,
+        q_len=q_len, kv_len=kv_len, is_causal=is_causal,
+    )
+    # dv += pᵀ do ; dk += dsᵀ (q·scale)  (q is pre-scaled, matching s)
+    dv_acc[...] += jax.lax.dot_general(p, do, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32)
+    dk_acc[...] += jax.lax.dot_general(ds, q, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32)
+
+    @pl.when(q_blk == num_q_blocks - 1)
+    def _finish():
+        dk_ref[0] = dk_acc[...].astype(dk_ref.dtype)
+        dv_ref[0] = dv_acc[...].astype(dv_ref.dtype)
+
+
+def _flash_bwd_dq_kernel(
+    q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, dq_ref, dq_acc,
+    *, scale, block_q, block_k, q_len, kv_len, num_k_blocks, is_causal,
+):
+    q_blk = pl.program_id(1)
+    k_blk = pl.program_id(2)
+
+    @pl.when(k_blk == 0)
+    def _init():
+        dq_acc[...] = jnp.zeros_like(dq_acc)
+
+    _p, ds, _q, k, _do = _recompute_p_ds(
+        q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
+        scale=scale, block_q=block_q, block_k=block_k, q_blk=q_blk, k_blk=k_blk,
+        q_len=q_len, kv_len=kv_len, is_causal=is_causal,
+    )
+    dq_acc[...] += jax.lax.dot_general(ds, k, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32)
+
+    @pl.when(k_blk == num_k_blocks - 1)
+    def _finish():
+        dq_ref[0] = (dq_acc[...] * scale).astype(dq_ref.dtype)
+
+
+def _flash_backward(
+    q: jax.Array, k: jax.Array, v: jax.Array, o: jax.Array, lse: jax.Array, g: jax.Array,
+    is_causal: bool, scale: float | None,
+) -> tuple[jax.Array, jax.Array, jax.Array]:
+    b, h, lq, d = q.shape
+    lk = k.shape[2]
+    scale_v = scale if scale is not None else 1.0 / math.sqrt(d)
+
+    block_q = min(_BLOCK_Q_BWD, _round_up(lq, _LANE))
+    block_k = min(_BLOCK_K_BWD, _round_up(lk, _LANE))
+    d_pad = _round_up(d, _LANE)
+    lq_pad = _round_up(lq, block_q)
+    lk_pad = _round_up(lk, block_k)
+
+    # delta = rowsum(dO ∘ O) (f32), padded to the lse layout (BH, Lq_pad, LANE)
+    delta = jnp.sum(g.astype(jnp.float32) * o.astype(jnp.float32), axis=-1)  # (b, h, lq)
+    delta = delta.reshape(b * h, lq)
+    delta = jnp.pad(delta, ((0, 0), (0, lq_pad - lq)))[..., None]
+    delta = jnp.broadcast_to(delta, (b * h, lq_pad, _LANE))
+    # lse arrives with the forward's padding geometry; re-pad if block sizes differ
+    if lse.shape[1] != lq_pad:
+        lse = lse[:, : min(lse.shape[1], lq_pad)]
+        lse = jnp.pad(lse, ((0, 0), (0, lq_pad - lse.shape[1]), (0, 0)), constant_values=0.0)
+
+    def flat_pad(x: jax.Array, length: int, pad_to: int) -> jax.Array:
+        xf = x.reshape(b * h, length, d)
+        if d_pad != d or pad_to != length:
+            xf = jnp.pad(xf, ((0, 0), (0, pad_to - length), (0, d_pad - d)))
+        return xf
+
+    qf = flat_pad(q, lq, lq_pad)
+    kf = flat_pad(k, lk, lk_pad)
+    vf = flat_pad(v, lk, lk_pad)
+    gf = flat_pad(g, lq, lq_pad)
+
+    q_spec = pl.BlockSpec((1, block_q, d_pad), lambda i, j, n: (i, n, 0), memory_space=pltpu.VMEM)
+    k_spec = pl.BlockSpec((1, block_k, d_pad), lambda i, j, n: (i, j, 0), memory_space=pltpu.VMEM)
+    stat_spec = pl.BlockSpec((1, block_q, _LANE), lambda i, j, n: (i, n, 0), memory_space=pltpu.VMEM)
+
+    num_q_blocks = lq_pad // block_q
+    num_k_blocks = lk_pad // block_k
+
+    dk, dv = pl.pallas_call(
+        functools.partial(
+            _flash_bwd_dkv_kernel,
+            scale=scale_v, block_q=block_q, block_k=block_k,
+            q_len=lq, kv_len=lk, num_q_blocks=num_q_blocks, is_causal=is_causal,
+        ),
+        grid=(b * h, num_k_blocks, num_q_blocks),
+        in_specs=[q_spec, k_spec, k_spec, q_spec, stat_spec, stat_spec],
+        out_specs=(
+            pl.BlockSpec((1, block_k, d_pad), lambda i, j, n: (i, j, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_k, d_pad), lambda i, j, n: (i, j, 0), memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((b * h, lk_pad, d_pad), k.dtype),
+            jax.ShapeDtypeStruct((b * h, lk_pad, d_pad), v.dtype),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((block_k, d_pad), jnp.float32),
+            pltpu.VMEM((block_k, d_pad), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(dimension_semantics=("parallel", "parallel", "arbitrary")),
+        cost_estimate=pl.CostEstimate(
+            flops=8 * b * h * lq * lk * d,
+            bytes_accessed=(qf.size + kf.size + vf.size + gf.size) * qf.dtype.itemsize,
+            transcendentals=b * h * lq * lk,
+        ),
+    )(qf, kf, vf, gf, lse, delta)
+
+    dq_q_spec = pl.BlockSpec((1, block_q, d_pad), lambda i, j, n: (i, j, 0), memory_space=pltpu.VMEM)
+    dq_k_spec = pl.BlockSpec((1, block_k, d_pad), lambda i, j, n: (i, n, 0), memory_space=pltpu.VMEM)
+    dq_stat_spec = pl.BlockSpec((1, block_q, _LANE), lambda i, j, n: (i, j, 0), memory_space=pltpu.VMEM)
+    (dq,) = pl.pallas_call(
+        functools.partial(
+            _flash_bwd_dq_kernel,
+            scale=scale_v, block_q=block_q, block_k=block_k,
+            q_len=lq, kv_len=lk, num_k_blocks=num_k_blocks, is_causal=is_causal,
+        ),
+        grid=(b * h, num_q_blocks, num_k_blocks),
+        in_specs=[dq_q_spec, dq_k_spec, dq_k_spec, dq_q_spec, dq_stat_spec, dq_stat_spec],
+        out_specs=(
+            pl.BlockSpec((1, block_q, d_pad), lambda i, j, n: (i, j, 0), memory_space=pltpu.VMEM),
+        ),
+        out_shape=(jax.ShapeDtypeStruct((b * h, lq_pad, d_pad), q.dtype),),
+        scratch_shapes=[pltpu.VMEM((block_q, d_pad), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(dimension_semantics=("parallel", "parallel", "arbitrary")),
+        cost_estimate=pl.CostEstimate(
+            flops=6 * b * h * lq * lk * d,
+            bytes_accessed=(qf.size + kf.size + vf.size + gf.size) * qf.dtype.itemsize,
+            transcendentals=b * h * lq * lk,
+        ),
+    )(qf, kf, vf, gf, lse, delta)
+
+    return (
+        dq[:, :lq, :d].reshape(b, h, lq, d),
+        dk[:, :lk, :d].reshape(b, h, lk, d),
+        dv[:, :lk, :d].reshape(b, h, lk, d),
+    )
+
+
+# ---------------------------------------------------------------------------
+# public entry point
+# ---------------------------------------------------------------------------
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5))
 def flash_attention(
-    q: jax.Array, k: jax.Array, v: jax.Array, is_causal: bool = False, scale: float | None = None
+    q: jax.Array,
+    k: jax.Array,
+    v: jax.Array,
+    bias: jax.Array | None = None,
+    is_causal: bool = False,
+    scale: float | None = None,
 ) -> jax.Array:
-    """Flash attention over (B, H, L, D); bf16-friendly, O(L) memory."""
-    return _flash_forward(q, k, v, is_causal, scale)
+    """Flash attention over (B, H, L, D); bf16-friendly, O(L) memory.
+
+    `bias` is an optional additive logits bias broadcastable to
+    (B, H, Lq, Lk), streamed through VMEM blockwise.
+    """
+    out, _ = _flash_forward(q, k, v, bias, is_causal, scale)
+    return out
 
 
-def _fwd(q, k, v, is_causal, scale):
-    return _flash_forward(q, k, v, is_causal, scale), (q, k, v)
+def _fwd(q, k, v, bias, is_causal, scale):
+    out, lse = _flash_forward(q, k, v, bias, is_causal, scale)
+    return out, (q, k, v, bias, out, lse)
 
 
 def _bwd(is_causal, scale, res, g):
+    q, k, v, bias, out, lse = res
+    if bias is None:
+        dq, dk, dv = _flash_backward(q, k, v, out, lse, g, is_causal, scale)
+        return dq, dk, dv, None
+    # bias path: the bias gradient needs the full P matrix — recompute via XLA
     from refiners_tpu.ops.attention import _xla_attention
 
-    q, k, v = res
-    _, vjp = jax.vjp(lambda q, k, v: _xla_attention(q, k, v, is_causal=is_causal, scale=scale), q, k, v)
+    def ref(q, k, v, bias):
+        return _xla_attention(q, k, v, mask=bias, is_causal=is_causal, scale=scale)
+
+    _, vjp = jax.vjp(ref, q, k, v, bias)
     return vjp(g)
 
 

@@ -173,9 +173,79 @@ def test_flash_attention_causal_matches_xla() -> None:
     from jax.experimental.pallas import tpu as pltpu
 
     with pltpu.force_tpu_interpret_mode():
-        got = flash_attention(q, k, v, True)
+        got = flash_attention(q, k, v, is_causal=True)
     expected = _xla_attention(q, k, v, is_causal=True)
     np.testing.assert_allclose(np.asarray(got), np.asarray(expected), atol=2e-5)
+
+
+def test_flash_attention_bias_matches_xla() -> None:
+    import jax
+
+    from refiners_tpu.ops.attention import _xla_attention
+    from refiners_tpu.ops.flash_attention import flash_attention
+
+    key = jax.random.key(3)
+    kq, kk, kv, kb = jax.random.split(key, 4)
+    q = jax.random.normal(kq, (2, 2, 150, 32))
+    k = jax.random.normal(kk, (2, 2, 150, 32))
+    v = jax.random.normal(kv, (2, 2, 150, 32))
+    bias = jax.random.normal(kb, (2, 2, 150, 150))
+    from jax.experimental.pallas import tpu as pltpu
+
+    with pltpu.force_tpu_interpret_mode():
+        got = flash_attention(q, k, v, bias=bias)
+    expected = _xla_attention(q, k, v, mask=bias)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(expected), atol=2e-5)
+
+
+def test_flash_attention_pallas_backward_matches_xla_grads() -> None:
+    import jax
+    import jax.numpy as jnp_
+
+    from refiners_tpu.ops.attention import _xla_attention
+    from refiners_tpu.ops.flash_attention import flash_attention
+
+    key = jax.random.key(4)
+    kq, kk, kv = jax.random.split(key, 3)
+    q = jax.random.normal(kq, (1, 2, 180, 32))
+    k = jax.random.normal(kk, (1, 2, 140, 32))
+    v = jax.random.normal(kv, (1, 2, 140, 32))
+
+    def loss_flash(q, k, v):
+        return jnp_.sum(jnp_.sin(flash_attention(q, k, v)))
+
+    def loss_xla(q, k, v):
+        return jnp_.sum(jnp_.sin(_xla_attention(q, k, v)))
+
+    from jax.experimental.pallas import tpu as pltpu
+
+    with pltpu.force_tpu_interpret_mode():
+        got = jax.grad(loss_flash, argnums=(0, 1, 2))(q, k, v)
+    expected = jax.grad(loss_xla, argnums=(0, 1, 2))(q, k, v)
+    for g, e, name in zip(got, expected, "qkv"):
+        np.testing.assert_allclose(np.asarray(g), np.asarray(e), atol=1e-4, err_msg=f"d{name}")
+
+
+def test_flash_attention_causal_backward_matches_xla_grads() -> None:
+    import jax
+    import jax.numpy as jnp_
+
+    from refiners_tpu.ops.attention import _xla_attention
+    from refiners_tpu.ops.flash_attention import flash_attention
+
+    key = jax.random.key(5)
+    kq, kk, kv = jax.random.split(key, 3)
+    q = jax.random.normal(kq, (1, 1, 130, 32))
+    k = jax.random.normal(kk, (1, 1, 130, 32))
+    v = jax.random.normal(kv, (1, 1, 130, 32))
+
+    from jax.experimental.pallas import tpu as pltpu
+
+    with pltpu.force_tpu_interpret_mode():
+        got = jax.grad(lambda *a: jnp_.sum(jnp_.tanh(flash_attention(*a, is_causal=True))), argnums=(0, 1, 2))(q, k, v)
+    expected = jax.grad(lambda *a: jnp_.sum(jnp_.tanh(_xla_attention(*a, is_causal=True))), argnums=(0, 1, 2))(q, k, v)
+    for g, e, name in zip(got, expected, "qkv"):
+        np.testing.assert_allclose(np.asarray(g), np.asarray(e), atol=1e-4, err_msg=f"d{name}")
 
 
 def test_multihead_attention_matches_torch() -> None:
