@@ -75,6 +75,14 @@ def main(argv: list[str] | None = None) -> int:
         print("upstream formats (--from-file FILE --format SPEC):")
         for spec in sorted(set(upstream_recipes()) | set(upstream_converters())):
             print(f"  {spec}")
+        from refiners_tpu.conversion.models.registry import control_lora_hub, lora_hub
+
+        print("loras (download-only, runtime-loaded):")
+        for name, hub in lora_hub().items():
+            print(f"  {name:36s} {hub.repo_id}/{hub.filename}")
+        print("control-loras:")
+        for name, hub in control_lora_hub().items():
+            print(f"  {name:36s} {hub.repo_id}/{hub.filename}")
         return 0
 
     for name in names:

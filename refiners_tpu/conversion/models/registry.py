@@ -163,6 +163,12 @@ def upstream_recipes() -> dict[str, Any]:
             key_map=clip_maps.clip_image_diffusers_key_map(),
             tensor_reshapes=clip_maps.clip_image_reshapes(),
         ),
+        # SD2.1-unclip CLIP-image encoder: identical generated table, oracle-
+        # tested against reference conversion/models/clip_image_sd21.py
+        "clip_image.sd21_unclip/transformers": KeyMapRecipe(
+            key_map=clip_maps.clip_image_diffusers_key_map(),
+            tensor_reshapes=clip_maps.clip_image_reshapes(),
+        ),
         "ipadapter.sd15/tencent": KeyMapRecipe(key_map=adapters.ipadapter_sd15_key_map()),
         "ipadapter.sd15_plus/tencent": KeyMapRecipe(
             key_map=adapters.ipadapter_sd15_plus_key_map(),
@@ -185,12 +191,34 @@ def upstream_converters() -> dict[str, Callable[[dict[str, Any]], dict[str, Any]
     """Programmatic upstream converters (value transforms beyond key renames),
     keyed like `upstream_recipes`. Pipe results through
     `refiners_compat.convert_refiners_state_dict`."""
-    from refiners_tpu.conversion.models import foundationals
+    from refiners_tpu.conversion.models import control_lora_sdxl, foundationals
 
     return {
         "dinov2/facebook": foundationals.convert_dinov2_facebook,
         "ella/tencent": foundationals.convert_ella_tencent,
         "mvanet/official": foundationals.convert_mvanet_official,
+        "controllora.sdxl/original": control_lora_sdxl.convert_controllora_sdxl,
+    }
+
+
+def lora_hub() -> dict[str, Hub]:
+    """Published LoRA checkpoints (download-only, runtime-loaded); mirrors
+    reference conversion/models/loras.py."""
+    from refiners_tpu.conversion.models.loras import ALL_LORAS
+
+    return dict(ALL_LORAS)
+
+
+def control_lora_hub() -> dict[str, Hub]:
+    """Original + converted control-lora checkpoints (reference
+    conversion/models/controllora_sdxl.py:320-345)."""
+    from refiners_tpu.conversion.models import control_lora_sdxl as m
+
+    return {
+        "controllora.sdxl.canny/original": m.canny_original,
+        "controllora.sdxl.canny": m.canny_converted,
+        "controllora.sdxl.cpds/original": m.cpds_original,
+        "controllora.sdxl.cpds": m.cpds_converted,
     }
 
 
@@ -244,6 +272,16 @@ REGISTRY: dict[str, ModelEntry] = {
             Hub("refiners/clip.image_encoder_h", "model.safetensors"),
             _clip_image_encoder_h,
             "CLIP ViT-H image encoder (IP-Adapter)",
+        ),
+        ModelEntry(
+            "sd21.unclip.image_encoder",
+            Hub(
+                "refiners/sd21.unclip.image_encoder",
+                "model.safetensors",
+                expected_sha256="c9f43e359e06f1a237324c4c11734d6acd7fbddbfd3b1ed4f1b525267bedb812",
+            ),
+            _clip_image_encoder_h,
+            "SD2.1-unclip CLIP-image encoder (ViT-H)",
         ),
         ModelEntry(
             "sam.vit_h",

@@ -25,6 +25,19 @@ IterationOrEpochField = Annotated[Iteration | Epoch, BeforeValidator(parse_numbe
 StepField = Annotated[Step, BeforeValidator(parse_number_unit_field)]
 
 
+class MeshConfig(BaseModel):
+    """Device-mesh parallelism for training (TPU-native extension; the
+    reference is single-device). DP shards the batch over the "data" axis;
+    `tensor > 1` additionally TP-shards attention/FF weights via
+    `parallel.ATTENTION_TP_RULES` (megatron split, GSPMD collectives)."""
+
+    data: int | None = None  # None → all remaining devices on the data axis
+    tensor: int = 1
+    tensor_parallel_rules: bool = True
+
+    model_config = ConfigDict(extra="forbid")
+
+
 class TrainingConfig(BaseModel):
     device: str = "tpu"
     dtype: str = "float32"
@@ -33,6 +46,7 @@ class TrainingConfig(BaseModel):
     gradient_accumulation: StepField = Step(1)
     gradient_clipping_max_norm: float | None = None
     jit_step: bool = False  # jit-compile loss+grad when compute_loss is traceable
+    mesh: MeshConfig | None = None  # [training.mesh] TOML section enables DP/TP
 
     model_config = ConfigDict(extra="forbid", arbitrary_types_allowed=True)
 

@@ -67,6 +67,12 @@ def register_model():
             dtype = self.dtype
             if dtype is not None:
                 model = model.to(dtype=dtype)
+            if (mesh := self.mesh) is not None:
+                from refiners_tpu.parallel import ATTENTION_TP_RULES, shard_module
+
+                mesh_cfg = self.config.training.mesh
+                rules = ATTENTION_TP_RULES if (mesh_cfg and mesh_cfg.tensor_parallel_rules) else []
+                shard_module(model, mesh, rules)
             trainable = config.requires_grad if config.requires_grad is not None else True
             numel = model.param_count()
             logger.info(f"Number of parameters in {name}: {human_readable_number(numel)} (trainable={trainable})")
@@ -130,6 +136,39 @@ class Trainer(Generic[ConfigType, Batch], ABC):
         from refiners_tpu.fluxion.utils import str_to_dtype
 
         return str_to_dtype(self.config.training.dtype)
+
+    @cached_property
+    def mesh(self) -> Any:
+        """("data", "tensor") device mesh when [training.mesh] is configured
+        (TPU-native extension: DP batch sharding + optional megatron TP;
+        GSPMD inserts the gradient psums — no hand-written comm)."""
+        cfg = self.config.training.mesh
+        if cfg is None:
+            return None
+        from refiners_tpu.parallel import make_mesh
+
+        return make_mesh(data=cfg.data, tensor=cfg.tensor)
+
+    def shard_batch(self, batch: Any) -> Any:
+        """DP-shard every array leaf of `batch` whose leading axis divides the
+        mesh "data" axis; replicate the rest. No-op without a mesh."""
+        mesh = self.mesh
+        if mesh is None:
+            return batch
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from refiners_tpu.parallel import data_sharding
+
+        n_data = mesh.shape["data"]
+
+        def place(leaf: Any) -> Any:
+            if isinstance(leaf, jax.Array) and leaf.ndim >= 1 and leaf.shape[0] % n_data == 0:
+                return jax.device_put(leaf, data_sharding(mesh, leaf.ndim))
+            if isinstance(leaf, jax.Array):
+                return jax.device_put(leaf, NamedSharding(mesh, P()))
+            return leaf
+
+        return jax.tree.map(place, batch)
 
     @property
     def trainable_models(self) -> dict[str, fl.Module]:
@@ -274,6 +313,7 @@ class Trainer(Generic[ConfigType, Batch], ABC):
     def step(self, batch: Batch) -> None:
         """Single training step (trainer.py:313)."""
         self._call_callbacks(event_name="on_compute_loss_begin")
+        batch = cast(Batch, self.shard_batch(batch))
         loss, grads = self._loss_and_grad(batch)
         self.loss = loss
         self._last_grads = grads

@@ -176,3 +176,41 @@ def test_diffusers_unet_checkpoint_roundtrip() -> None:
     assert got.keys() == expected.keys()
     for k in got:
         np.testing.assert_array_equal(np.asarray(got[k]), np.asarray(expected[k]), err_msg=k)
+
+
+def test_clip_image_sd21_unclip_map() -> None:
+    """Our generated CLIP-image table equals the reference's sd21-unclip
+    recipe (conversion/models/clip_image_sd21.py) — key map AND reshapes."""
+    from refiners.conversion.models.clip_image_sd21 import diffusers_recipe
+
+    from refiners_tpu.conversion.models.clip_maps import clip_image_diffusers_key_map, clip_image_reshapes
+
+    _assert_same_map(clip_image_diffusers_key_map(32), diffusers_recipe.key_map)
+    assert clip_image_reshapes() == diffusers_recipe.tensor_reshapes
+
+
+def test_lora_hub_matches_reference() -> None:
+    """Every reference LoRA hub entry exists with the same repo/sha."""
+    import refiners.conversion.models.loras as ref_loras
+    from refiners.conversion.utils import Hub as RefHub
+
+    from refiners_tpu.conversion.models.registry import lora_hub
+
+    ours = {(h.repo_id, h.filename, h.expected_sha256) for h in lora_hub().values()}
+    ref = {
+        (h.repo_id, h.filename, h.expected_sha256)
+        for h in vars(ref_loras).values()
+        if isinstance(h, RefHub)
+    }
+    assert ref <= ours, f"missing lora hub entries: {ref - ours}"
+
+
+def test_control_lora_hub_matches_reference() -> None:
+    from refiners.conversion.models.controllora_sdxl import canny, cpds
+
+    from refiners_tpu.conversion.models.registry import control_lora_hub
+
+    hubs = control_lora_hub()
+    for name, ref_conv in [("canny", canny), ("cpds", cpds)]:
+        assert hubs[f"controllora.sdxl.{name}/original"].expected_sha256 == ref_conv.original.expected_sha256
+        assert hubs[f"controllora.sdxl.{name}"].expected_sha256 == ref_conv.converted.expected_sha256
