@@ -1,0 +1,103 @@
+"""bf16-on-TPU parity tier — runs only with REFINERS_TPU_TEST_DEVICE=tpu.
+
+The fp32 CPU tiers prove graph correctness; this tier proves the SHIPPED
+configuration (bf16 on a real chip, flash kernels active) against the torch
+fp32 reference, with the looser thresholds the reference uses for its fp16
+ladder (PSNR >= 20-25, /root/reference/tests/e2e/test_diffusion.py fp16 call
+sites)."""
+
+import os
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+from tests.ref_compat import reference_available
+
+VOCAB = Path("/root/reference/src/refiners/foundationals/clip/bpe_simple_vocab_16e6.txt.gz")
+
+pytestmark = [
+    pytest.mark.slow,
+    pytest.mark.skipif(
+        os.environ.get("REFINERS_TPU_TEST_DEVICE") != "tpu", reason="needs REFINERS_TPU_TEST_DEVICE=tpu"
+    ),
+    pytest.mark.skipif(not (reference_available() and VOCAB.exists()), reason="reference unavailable"),
+]
+
+
+def test_sd15_txt2img_bf16_on_chip() -> None:
+    import gc
+
+    import jax.numpy as jnp
+    import torch
+
+    from refiners.foundationals.latent_diffusion import StableDiffusion_1 as RefSD
+    from refiners.foundationals.latent_diffusion.solvers import DDIM as RefDDIM
+
+    from refiners_tpu.conversion.refiners_compat import load_reference_state_dict
+    from refiners_tpu.foundationals.latent_diffusion import DDIM, StableDiffusion_1
+    from tests.utils import compute_psnr, image_to_array
+
+    torch.manual_seed(0)
+    steps = 4
+    ref = RefSD(solver=RefDDIM(num_inference_steps=steps))
+    for m in (ref.unet, ref.lda, ref.clip_text_encoder):
+        m.eval()
+
+    ours = StableDiffusion_1(solver=DDIM(num_inference_steps=steps))
+    load_reference_state_dict(ours.unet, {k: v.detach().numpy() for k, v in ref.unet.state_dict().items()})
+    load_reference_state_dict(ours.lda, {k: v.detach().numpy() for k, v in ref.lda.state_dict().items()})
+    load_reference_state_dict(
+        ours.clip_text_encoder, {k: v.detach().numpy() for k, v in ref.clip_text_encoder.state_dict().items()}
+    )
+    our_emb = ours.compute_clip_text_embedding(text="a cute cat", negative_text="low quality")
+    # cast to the shipped dtype AFTER fp32 text encoding
+    ours.unet.to(dtype=jnp.bfloat16)
+    ours.lda.to(dtype=jnp.bfloat16)
+
+    noise = np.random.RandomState(0).randn(1, 4, 32, 32).astype(np.float32)
+    with torch.no_grad():
+        ref_emb = ref.compute_clip_text_embedding(text="a cute cat", negative_text="low quality")
+        x_ref = torch.from_numpy(noise.copy())
+        for step in ref.steps:
+            x_ref = ref(x_ref, step=step, clip_text_embedding=ref_emb, condition_scale=7.5)
+        image_ref = ref.lda.decode(x_ref).numpy()
+    del ref
+    gc.collect()
+
+    x = jnp.asarray(noise.transpose(0, 2, 3, 1), jnp.bfloat16)
+    z = ours.diffuse(x, clip_text_embedding=our_emb.astype(jnp.bfloat16), condition_scale=7.5)
+    image_our = np.asarray(ours.lda.decode(z).astype(jnp.float32))
+
+    psnr = compute_psnr(image_to_array(image_our), image_to_array(image_ref))
+    assert psnr >= 20, f"bf16-on-chip PSNR {psnr:.2f} < 20"
+
+
+def test_sam_predict_bf16_on_chip() -> None:
+    """SAM ViT-B point-prompt prediction in bf16 on chip (flash rel-pos path)
+    vs the fp32 CPU XLA path — masks must agree."""
+    import jax
+    import jax.numpy as jnp
+
+    from refiners_tpu.fluxion import manual_seed
+    from refiners_tpu.foundationals.segment_anything.image_encoder import SAMViT
+
+    manual_seed(0)
+    # ViT-B-like config at full 1024² input: the global-attention layers
+    # (seq 4096) exercise the flash + decomposed-rel-pos-bias path on chip
+    vit = SAMViT(
+        embedding_dim=768,
+        num_layers=4,
+        num_heads=12,
+        global_attention_indices=(1, 3),
+    )
+    x = jax.random.normal(jax.random.key(1), (1, 1024, 1024, 3), jnp.float32)
+
+    with jax.default_device(jax.devices("cpu")[0]):
+        expected = np.asarray(vit(x))
+
+    vit.to(dtype=jnp.bfloat16)
+    got = np.asarray(jax.jit(lambda m, v: m(v))(vit, x.astype(jnp.bfloat16)).astype(jnp.float32))
+    assert got.shape == expected.shape
+    rel = np.abs(got - expected).mean() / (np.abs(expected).mean() + 1e-8)
+    assert rel < 0.05, f"bf16 flash path diverges: mean rel err {rel:.4f}"
