@@ -1,19 +1,37 @@
 """Benchmark: SDXL 1024x1024 text-to-image, 30 denoise steps + VAE decode,
-bf16, CFG 5.0, single chip — the BASELINE.json north-star configuration.
+bf16, CFG 5.0 — the BASELINE.json north-star configuration.
 Prints ONE JSON line.
 
 The 30-step loop is one jitted lax.scan program (zero host round-trips
 between steps); runs are chained on data so every iteration is real work.
 North star: >= 1 img/s per v5e-8; vs_baseline is img/s against that 1.0.
+
+Modes:
+  python bench.py                     # single chip, batch 1 (default signal)
+  python bench.py --data-parallel     # DP over all visible devices: one
+                                      # image per "data" row, TP off — the
+                                      # multi-chip throughput path
+  python bench.py --batch N           # images per diffuse call (DP mode)
 """
 
 from __future__ import annotations
 
+import argparse
 import json
 import time
 
 
 def main() -> None:
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--data-parallel", action="store_true", help="DP-shard a multi-image batch over all devices")
+    parser.add_argument("--batch", type=int, default=None, help="images per diffuse call (defaults to device count)")
+    parser.add_argument("--runs", type=int, default=3)
+    args = parser.parse_args()
+
+    import os
+
+    os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/refiners_tpu_xla_cache")
+
     import jax
     import jax.numpy as jnp
 
@@ -23,18 +41,61 @@ def main() -> None:
 
     manual_seed(0)
     dtype = jnp.bfloat16
-    sd = StableDiffusion_XL(
-        unet=SDXLUNet(in_channels=4, dtype=dtype),
-        lda=SDXLAutoencoder(dtype=dtype),
-        # the benchmark feeds precomputed embeddings; skip building CLIP
-        clip_text_encoder=fl.Chain(fl.Identity()),  # type: ignore[arg-type]
-        solver=DDIM(num_inference_steps=30),
-    )
+    # build on the host: eager layer-init ops over a remote-tunnel TPU pay a
+    # full RTT each (measured: 14 MINUTES of construction); on CPU it's
+    # seconds. Weights are then MATERIALIZED ON DEVICE by one jitted program
+    # (random with init-like statistics; 1-D leaves zero) instead of shipping
+    # ~5 GB through the tunnel — the compiled diffuse program, its FLOPs and
+    # its memory traffic are identical to real weights. Solver tables are
+    # transferred for real (tiny) so the denoise trajectory stays finite.
+    with jax.default_device(jax.devices("cpu")[0]):
+        sd = StableDiffusion_XL(
+            unet=SDXLUNet(in_channels=4, dtype=dtype),
+            lda=SDXLAutoencoder(dtype=dtype),
+            # the benchmark feeds precomputed embeddings; skip building CLIP
+            clip_text_encoder=fl.Chain(fl.Identity()),  # type: ignore[arg-type]
+            solver=DDIM(num_inference_steps=30),
+        )
+    if jax.default_backend() != "cpu":
+        dev = jax.devices()[0]
+        sd.solver = jax.device_put(sd.solver, dev)
+        for module in (sd.unet, sd.lda):
+            entries = list(module.arrays())
+            shapes = [(a.shape, a.dtype) for _, a in entries]
 
-    emb = jnp.zeros((2, 77, 2048), dtype)
-    pooled = jnp.zeros((2, 1280), dtype)
-    time_ids = sd.default_time_ids
-    x0 = jax.random.normal(jax.random.key(0), (1, 128, 128, 4), dtype)
+            def materialize(key: jax.Array) -> list[jax.Array]:
+                keys = jax.random.split(key, len(shapes))
+                out = []
+                for k, (shape, dt) in zip(keys, shapes):
+                    if jnp.issubdtype(dt, jnp.floating) and len(shape) >= 2:
+                        fan_in = 1
+                        for s in shape[:-1]:
+                            fan_in *= s
+                        out.append(jax.random.normal(k, shape, jnp.float32).astype(dt) * (fan_in**-0.5))
+                    else:
+                        out.append(jnp.zeros(shape, dt))
+                return out
+
+            placed = jax.jit(materialize, out_shardings=[jax.sharding.SingleDeviceSharding(dev)] * len(shapes))(
+                jax.random.key(0)
+            )
+            for (path, _), arr in zip(entries, placed):
+                module._set_array_by_path(path, arr)
+
+    n_dev = len(jax.devices())
+    batch = args.batch or (n_dev if args.data_parallel else 1)
+
+    emb = jnp.zeros((2 * batch, 77, 2048), dtype)
+    pooled = jnp.zeros((2 * batch, 1280), dtype)
+    time_ids = jnp.tile(sd.default_time_ids, (batch, 1))
+    x0 = jax.random.normal(jax.random.key(0), (batch, 128, 128, 4), dtype)
+
+    if args.data_parallel:
+        from refiners_tpu.parallel import make_mesh, shard_inputs, shard_latent_diffusion
+
+        mesh = make_mesh(tensor=1)
+        shard_latent_diffusion(sd, mesh, tp_rules=[])
+        x0, emb, pooled, time_ids = shard_inputs(mesh, x0, emb, pooled, time_ids)
 
     diffuse = jax.jit(
         lambda m, x, e, p, t: m.diffuse(
@@ -50,27 +111,34 @@ def main() -> None:
     float(jnp.sum(img.astype(jnp.float32)))
 
     # chain each run on the previous outputs (incl. the decoded image) so no
-    # iteration's work can be skipped or overlapped away
-    runs = 3
+    # iteration's work can be skipped or overlapped away; per-run times are
+    # host-synced by a device→host readback, and we report the MEDIAN — the
+    # shared host core also feeds the TPU tunnel, so a busy box produces
+    # outlier runs that say nothing about the chip
     x = x0
-    t0 = time.perf_counter()
-    for _ in range(runs):
+    times: list[float] = []
+    for _ in range(args.runs):
+        t0 = time.perf_counter()
         z = diffuse(sd, x, emb, pooled, time_ids)
         img = decode(sd.lda, z)
         x = z / 14.6 + (jnp.mean(img) * 0).astype(dtype)  # renormalize + decode dependency
-    total = float(jnp.sum(x.astype(jnp.float32))) + float(jnp.sum(img.astype(jnp.float32)))
-    assert total == total, "non-finite benchmark output"
-    dt = (time.perf_counter() - t0) / runs
+        total = float(jnp.sum(x.astype(jnp.float32)))
+        assert total == total, "non-finite benchmark output"
+        times.append(time.perf_counter() - t0)
+    times.sort()
+    dt = times[len(times) // 2]
 
-    value = 1.0 / dt
+    value = batch / dt
     # north star (BASELINE.json): >= 1 img/s per v5e-8, i.e. 0.125 img/s/chip
+    per_chip_target = 0.125 * (n_dev if args.data_parallel else 1)
+    suffix = f", DP batch {batch} over {n_dev} dev" if args.data_parallel else ", single v5e chip"
     print(
         json.dumps(
             {
-                "metric": "SDXL 1024x1024 30-step txt2img (bf16, CFG, single v5e chip)",
+                "metric": f"SDXL 1024x1024 30-step txt2img (bf16, CFG{suffix})",
                 "value": round(value, 4),
                 "unit": "img/s",
-                "vs_baseline": round(value / 0.125, 4),
+                "vs_baseline": round(value / per_chip_target, 4),
             }
         )
     )

@@ -82,18 +82,25 @@ def shard_module(
     module: fl.Module, mesh: Mesh, rules: list[PartitionRule] | None = None
 ) -> None:
     """Place every parameter on the mesh in place: TP rules where they match,
-    replication elsewhere."""
+    replication elsewhere.
+
+    All transfers go through ONE batched `jax.device_put` — per-array puts
+    pay a full round-trip each on remote-tunnel runtimes (minutes for a
+    UNet-sized tree)."""
     rules = rules if rules is not None else ATTENTION_TP_RULES
 
-    def place(path: str, arr: jax.Array) -> jax.Array:
-        spec = _valid_spec(arr, infer_partition_spec(path, arr, rules), mesh)
-        return jax.device_put(arr, NamedSharding(mesh, spec))
-
-    module.map_arrays(place)
+    entries = list(module.arrays())
+    shardings = [
+        NamedSharding(mesh, _valid_spec(arr, infer_partition_spec(path, arr, rules), mesh))
+        for path, arr in entries
+    ]
+    placed = jax.device_put([arr for _, arr in entries], shardings)
+    for (path, _), arr in zip(entries, placed):
+        module._set_array_by_path(path, arr)
 
 
 def replicate_module(module: fl.Module, mesh: Mesh) -> None:
-    module.map_arrays(lambda _p, a: jax.device_put(a, NamedSharding(mesh, P())))
+    shard_module(module, mesh, rules=[])
 
 
 def data_sharding(mesh: Mesh, ndim: int, batch_axis: int = 0) -> NamedSharding:
