@@ -64,6 +64,67 @@ class FusedQKVProjection(WeightedModule):
         return fl.Distribute(*linears)
 
 
+class FusedGroupNormSiLU(WeightedModule):
+    """One Pallas kernel replacing an adjacent GroupNorm→SiLU pair.
+
+    See `refiners_tpu.ops.group_norm` for the kernel design (per-channel
+    lane-packed statistics instead of XLA's padded (…, groups, C/groups)
+    reduction layout). Shares the GroupNorm's weight/bias arrays, so it can
+    be applied after weight loading and reversed exactly by `unfuse()`.
+    """
+
+    def __init__(self, gn: fl.GroupNorm) -> None:
+        super().__init__()
+        self.channels = gn.channels
+        self.num_groups = gn.num_groups
+        self.eps = gn.eps
+        self.weight = gn.weight
+        self.bias = gn.bias
+
+    def forward(self, x: jax.Array) -> jax.Array:
+        from refiners_tpu.ops.group_norm import group_norm_silu
+
+        return group_norm_silu(x, self.weight, self.bias, self.num_groups, self.eps)
+
+    def unfuse(self) -> tuple[fl.GroupNorm, fl.SiLU]:
+        gn = fl.GroupNorm(channels=self.channels, num_groups=self.num_groups, eps=self.eps)
+        gn.weight = self.weight
+        gn.bias = self.bias
+        return gn, fl.SiLU()
+
+
+def fuse_group_norm_silu(root: fl.Chain) -> int:
+    """Fuse every GroupNorm whose next sibling is a SiLU under `root`.
+
+    Covers both halves of every UNet/VAE ResidualBlock (GN→SiLU→Conv ×2).
+    Apply AFTER loading weights (the fused layer has its own tree path);
+    reverse with `unfuse_group_norm_silu` before saving state dicts.
+    """
+    count = 0
+    for gn, parent in list(root.walk(fl.GroupNorm, recurse=True)):
+        siblings = list(parent)
+        idx = next(i for i, m in enumerate(siblings) if m is gn)
+        if idx + 1 >= len(siblings) or type(siblings[idx + 1]) is not fl.SiLU:
+            continue
+        parent.remove(siblings[idx + 1])
+        parent.replace(gn, FusedGroupNormSiLU(gn))
+        count += 1
+    return count
+
+
+def unfuse_group_norm_silu(root: fl.Chain) -> int:
+    """Reverse `fuse_group_norm_silu`."""
+    count = 0
+    for fused, parent in list(root.walk(FusedGroupNormSiLU, recurse=True)):
+        siblings = list(parent)
+        idx = next(i for i, m in enumerate(siblings) if m is fused)
+        gn, silu = fused.unfuse()
+        parent.replace(fused, gn)
+        parent.insert(idx + 1, silu)
+        count += 1
+    return count
+
+
 def fuse_qkv_projections(root: fl.Chain) -> int:
     """Fuse every eligible self-attention QKV Distribute under `root`.
 

@@ -6,5 +6,6 @@ Pallas kernels without touching model code.
 """
 
 from refiners_tpu.ops.attention import dot_product_attention, scaled_dot_product_attention
+from refiners_tpu.ops.group_norm import group_norm_silu
 
-__all__ = ["dot_product_attention", "scaled_dot_product_attention"]
+__all__ = ["dot_product_attention", "group_norm_silu", "scaled_dot_product_attention"]

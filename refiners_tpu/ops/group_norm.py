@@ -1,0 +1,191 @@
+"""Pallas TPU fused GroupNorm(+SiLU) for NHWC tensors.
+
+Motivation (SURVEY §7.7): the reference's UNet ``ResidualBlock``
+(/root/reference/src/refiners/foundationals/latent_diffusion/unet.py:6-52) is
+GN→SiLU→Conv twice per block and dominates the non-attention UNet time. XLA
+lowers channels-last GroupNorm by reshaping to (..., groups, C/groups); with
+SD's C/groups ∈ {10, 20, 40} that trailing axis occupies 128-wide lanes at
+8-13× padding waste during the reduction. This kernel keeps C itself in the
+lane dimension end-to-end:
+
+- Pass 1 (stats): grid (B, S-blocks), S sequential — accumulate per-CHANNEL
+  Σx and Σx² in f32 VMEM scratch (layout (2, C), fully lane-packed), then a
+  tiny (groups, C/groups) fold happens once in XLA on (B, 2, C) partials.
+- The per-channel affine is folded with the group statistics on the host
+  graph: scale_c = γ_c·rsqrt(var_g+ε), shift_c = β_c − mean_g·scale_c — two
+  (B, C) vectors.
+- Pass 2 (apply): grid (B, S-blocks), embarrassingly parallel —
+  y = x·scale + shift, optionally ×sigmoid(y) (SiLU), single fused
+  read-modify-write at bf16.
+
+HBM traffic is the same 2R+1W as a perfectly-fused XLA schedule; the win is
+pure lane occupancy in the reduction plus guaranteed SiLU fusion into the
+normalize pass. Differentiable via ``jax.custom_vjp`` with an XLA-recompute
+backward (the op is an inference-path rewrite; training keeps the plain
+layers).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_LANE = 128
+# rows per grid step: (block_s, C_pad) input block + f32 compute temporaries;
+# at SDXL's widest (C_pad = 1280) this is 512·1280·(2+4+4) B ≈ 6.5 MB — safe
+_BLOCK_S = 512
+
+
+def _round_up(x: int, m: int) -> int:
+    return (x + m - 1) // m * m
+
+
+def _stats_kernel(x_ref, sums_ref, acc_ref, *, s_len: int, block_s: int, num_s_blocks: int):
+    """Accumulate per-channel [Σx, Σx²] (f32) across sequential S blocks."""
+    s_blk = pl.program_id(1)
+
+    @pl.when(s_blk == 0)
+    def _init():
+        acc_ref[...] = jnp.zeros_like(acc_ref)
+
+    x = x_ref[0].astype(jnp.float32)  # (block_s, C_pad)
+    row = s_blk * block_s + jax.lax.broadcasted_iota(jnp.int32, x.shape, 0)
+    x = jnp.where(row < s_len, x, 0.0)
+    acc_ref[0, :] += jnp.sum(x, axis=0)
+    acc_ref[1, :] += jnp.sum(x * x, axis=0)
+
+    @pl.when(s_blk == num_s_blocks - 1)
+    def _finish():
+        sums_ref[0] = acc_ref[...]
+
+
+def _apply_kernel(x_ref, scale_ref, shift_ref, y_ref, *, apply_silu: bool):
+    x = x_ref[0].astype(jnp.float32)
+    y = x * scale_ref[0] + shift_ref[0]  # (block_s, C_pad) · (1, C_pad)
+    if apply_silu:
+        y = y * jax.nn.sigmoid(y)
+    y_ref[0] = y.astype(y_ref.dtype)
+
+
+def _gn_silu_forward(
+    x: jax.Array,
+    weight: jax.Array,
+    bias: jax.Array,
+    num_groups: int,
+    eps: float,
+    apply_silu: bool,
+) -> jax.Array:
+    orig_shape = x.shape
+    c = orig_shape[-1]
+    b = orig_shape[0]
+    s = 1
+    for dim in orig_shape[1:-1]:
+        s *= dim
+    assert c % num_groups == 0
+    group_size = c // num_groups
+
+    c_pad = _round_up(c, _LANE)
+    block_s = min(_BLOCK_S, _round_up(s, 8))
+    s_pad = _round_up(s, block_s)
+    num_s_blocks = s_pad // block_s
+
+    xf = x.reshape(b, s, c)
+    if s_pad != s or c_pad != c:
+        xf = jnp.pad(xf, ((0, 0), (0, s_pad - s), (0, c_pad - c)))
+
+    sums = pl.pallas_call(
+        functools.partial(_stats_kernel, s_len=s, block_s=block_s, num_s_blocks=num_s_blocks),
+        grid=(b, num_s_blocks),
+        in_specs=[pl.BlockSpec((1, block_s, c_pad), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec((1, 2, c_pad), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, 2, c_pad), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((2, c_pad), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(dimension_semantics=("parallel", "arbitrary")),
+        cost_estimate=pl.CostEstimate(
+            flops=3 * b * s * c, bytes_accessed=xf.size * xf.dtype.itemsize, transcendentals=0
+        ),
+    )(xf)
+
+    # tiny (B, 2, G, C/G) fold + per-channel affine folding — XLA, negligible
+    grouped = sums[:, :, :c].reshape(b, 2, num_groups, group_size).sum(axis=-1)
+    n = float(s * group_size)
+    mean_g = grouped[:, 0] / n  # (B, G)
+    var_g = grouped[:, 1] / n - mean_g * mean_g
+    rstd_g = jax.lax.rsqrt(var_g + eps)
+    mean_c = jnp.repeat(mean_g, group_size, axis=-1)  # (B, C)
+    rstd_c = jnp.repeat(rstd_g, group_size, axis=-1)
+    w32 = weight.astype(jnp.float32)[None, :]
+    b32 = bias.astype(jnp.float32)[None, :]
+    scale_c = rstd_c * w32
+    shift_c = b32 - mean_c * scale_c
+    if c_pad != c:
+        scale_c = jnp.pad(scale_c, ((0, 0), (0, c_pad - c)))
+        shift_c = jnp.pad(shift_c, ((0, 0), (0, c_pad - c)))
+    scale_c = scale_c[:, None, :]  # (B, 1, C_pad)
+    shift_c = shift_c[:, None, :]
+
+    y = pl.pallas_call(
+        functools.partial(_apply_kernel, apply_silu=apply_silu),
+        grid=(b, num_s_blocks),
+        in_specs=[
+            pl.BlockSpec((1, block_s, c_pad), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, c_pad), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, c_pad), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, block_s, c_pad), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, s_pad, c_pad), x.dtype),
+        compiler_params=pltpu.CompilerParams(dimension_semantics=("parallel", "parallel")),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * b * s * c,
+            bytes_accessed=2 * xf.size * xf.dtype.itemsize,
+            transcendentals=b * s * c if apply_silu else 0,
+        ),
+    )(xf, scale_c, shift_c)
+
+    return y[:, :s, :c].reshape(orig_shape)
+
+
+def _xla_reference(
+    x: jax.Array, weight: jax.Array, bias: jax.Array, num_groups: int, eps: float, apply_silu: bool
+) -> jax.Array:
+    """Plain-XLA GN(+SiLU), numerics-identical target for tests and the VJP."""
+    c = x.shape[-1]
+    b = x.shape[0]
+    xg = x.reshape(b, -1, num_groups, c // num_groups).astype(jnp.float32)
+    mean = jnp.mean(xg, axis=(1, 3), keepdims=True)
+    var = jnp.var(xg, axis=(1, 3), keepdims=True)
+    y = (xg - mean) * jax.lax.rsqrt(var + eps)
+    y = y.reshape(b, -1, c) * weight.astype(jnp.float32) + bias.astype(jnp.float32)
+    if apply_silu:
+        y = y * jax.nn.sigmoid(y)
+    return y.reshape(x.shape).astype(x.dtype)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
+def group_norm_silu(
+    x: jax.Array,
+    weight: jax.Array,
+    bias: jax.Array,
+    num_groups: int,
+    eps: float = 1e-5,
+    apply_silu: bool = True,
+) -> jax.Array:
+    """Fused channels-last GroupNorm + optional SiLU on (B, ..., C)."""
+    return _gn_silu_forward(x, weight, bias, num_groups, eps, apply_silu)
+
+
+def _fwd(x, weight, bias, num_groups, eps, apply_silu):
+    return _gn_silu_forward(x, weight, bias, num_groups, eps, apply_silu), (x, weight, bias)
+
+
+def _bwd(num_groups, eps, apply_silu, res, g):
+    x, weight, bias = res
+    _, vjp = jax.vjp(lambda *a: _xla_reference(*a, num_groups, eps, apply_silu), x, weight, bias)
+    return vjp(g)
+
+
+group_norm_silu.defvjp(_fwd, _bwd)
