@@ -17,7 +17,6 @@ from pathlib import Path
 CONFIG = """
 [training]
 duration = "100:step"
-batch_size = 1
 gradient_accumulation = "4:step"
 dtype = "float32"
 
