@@ -186,7 +186,13 @@ class Trainer(Generic[ConfigType, Batch], ABC):
 
     def _lr_multiplier(self, model_config: ModelConfig) -> float:
         cfg = self.config.lr_scheduler
-        base = model_config.learning_rate or self.config.optimizer.learning_rate
+        # `is not None`, not truthiness: an explicit per-model lr of 0.0 must
+        # freeze the model, not fall back to the global learning rate
+        base = (
+            model_config.learning_rate
+            if model_config.learning_rate is not None
+            else self.config.optimizer.learning_rate
+        )
         warmup = (
             cfg.warmup.number
             if isinstance(cfg.warmup, Step)
@@ -200,7 +206,7 @@ class Trainer(Generic[ConfigType, Batch], ABC):
 
     def current_learning_rate(self, name: str | None = None) -> float:
         item = next(iter(self.models.values())) if name is None else self.models[name]
-        base = item.config.learning_rate or self.config.optimizer.learning_rate
+        base = item.config.learning_rate if item.config.learning_rate is not None else self.config.optimizer.learning_rate
         return base * self._lr_multiplier(item.config)
 
     def _optimizer_for(self, item: ModelItem) -> optax.GradientTransformation:

@@ -170,3 +170,101 @@ def test_seed_reproducibility(mock_config: MockConfig) -> None:
     np.testing.assert_array_equal(
         np.asarray(t1.mock_model[0].weight), np.asarray(t2.mock_model[0].weight)
     )
+
+
+def test_callback_registration_and_event_order(mock_config: MockConfig) -> None:
+    """Mirrors reference test_trainer.py:240 — registered callbacks fire, in
+    lifecycle order, with the trainer as argument."""
+    from refiners_tpu.training_utils import Callback, CallbackConfig, register_callback
+
+    events: list[str] = []
+
+    class RecorderConfig(CallbackConfig):
+        pass
+
+    class Recorder(Callback["MockTrainerWithCallback"]):
+        def on_train_begin(self, trainer) -> None:
+            events.append("train_begin")
+
+        def on_epoch_begin(self, trainer) -> None:
+            events.append("epoch_begin")
+
+        def on_step_end(self, trainer) -> None:
+            events.append("step_end")
+
+        def on_train_end(self, trainer) -> None:
+            events.append("train_end")
+
+    class RecorderTrainerConfig(MockConfig):
+        recorder: RecorderConfig = RecorderConfig()
+
+    class MockTrainerWithCallback(MockTrainer):
+        @register_callback()
+        def recorder(self, config: RecorderConfig) -> Recorder:
+            return Recorder()
+
+    config = RecorderTrainerConfig.load_from_toml(Path(__file__).parent / "mock_config.toml")
+    config.training.duration = Epoch(1)
+    trainer = MockTrainerWithCallback(config=config)
+    assert "recorder" in trainer.callbacks
+    trainer.train()
+    assert events[0] == "train_begin"
+    assert events[1] == "epoch_begin"
+    assert events.count("step_end") == 8  # 8 batches x 1 epoch
+    assert events[-1] == "train_end"
+
+
+def test_human_readable_number() -> None:
+    from refiners_tpu.training_utils import human_readable_number
+
+    assert human_readable_number(123) == "123.0"
+    assert human_readable_number(1234) == "1.2K"
+    assert human_readable_number(1234567) == "1.2M"
+    assert human_readable_number(1234567890) == "1.2G"
+
+
+def test_count_learnable_parameters() -> None:
+    from refiners_tpu.training_utils.common import count_learnable_parameters
+
+    arrays = [jnp.zeros((10, 10)), jnp.zeros((5,)), jnp.zeros((2, 3, 4))]
+    assert count_learnable_parameters(arrays) == 100 + 5 + 24
+
+
+def test_per_model_learning_rate_override(mock_config: MockConfig) -> None:
+    """A model-level learning_rate overrides [optimizer].learning_rate."""
+    mock_config.training.duration = Step(4)
+    mock_config.training.gradient_accumulation = Step(1)
+    mock_config.mock_model.learning_rate = 0.0  # freeze via lr, not requires_grad
+    trainer = MockTrainer(config=mock_config)
+    before = np.asarray(trainer.mock_model[0].weight).copy()
+    trainer.train()
+    after = np.asarray(trainer.mock_model[0].weight)
+    np.testing.assert_allclose(before, after, atol=1e-12)
+
+
+def test_gradient_clipping_bounds_update(mock_config: MockConfig) -> None:
+    """With SGD lr=1 and max_norm=1e-3, one iteration's update norm is <= 1e-3
+    (plus warmup scaling); without clipping it is much larger."""
+    mock_config.training.duration = Step(1)
+    mock_config.training.gradient_accumulation = Step(1)
+    mock_config.lr_scheduler.warmup = Step(0)
+    mock_config.optimizer.weight_decay = 0.0  # isolate clipping from decoupled decay
+
+    def one_step(max_norm: float | None) -> float:
+        mock_config.training.gradient_clipping_max_norm = max_norm
+        trainer = MockTrainer(config=mock_config)
+        before = np.asarray(trainer.mock_model[0].weight).copy()
+        trainer.train()
+        return float(np.linalg.norm(np.asarray(trainer.mock_model[0].weight) - before))
+
+    clipped = one_step(1e-3)
+    unclipped = one_step(None)
+    assert clipped <= 1.1e-3
+    assert unclipped > 10 * clipped
+
+
+def test_trainer_without_learnable_parameters_raises(mock_config: MockConfig) -> None:
+    mock_config.mock_model.requires_grad = False
+    trainer = MockTrainer(config=mock_config)
+    with pytest.raises(AssertionError, match="learnable"):
+        trainer.train()
