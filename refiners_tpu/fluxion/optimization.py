@@ -5,9 +5,12 @@ change how the compiled program maps onto the MXU without changing numerics.
 
 Measure before adopting: on a v5e chip the QKV fusion below made SDXL
 30-step diffuse 44% SLOWER (6.56s vs 4.55s) — the wide matmul + split
-defeats XLA's native attention fusions. It is provided because the tradeoff
-is hardware- and shape-dependent (narrow projections on larger-MXU parts can
-go the other way); it is never applied automatically.
+defeats XLA's native attention fusions. Likewise the GroupNorm+SiLU fusion
+measured 18% SLOWER (4.57s vs 3.87s median, interleaved A/B on SDXL 30-step
+diffuse): XLA already fuses the normalize+SiLU into the surrounding convs,
+and a standalone pallas_call is a fusion barrier. Both passes are provided
+because the tradeoff is hardware- and shape-dependent; neither is ever
+applied automatically.
 """
 
 from __future__ import annotations
@@ -71,6 +74,9 @@ class FusedGroupNormSiLU(WeightedModule):
     lane-packed statistics instead of XLA's padded (…, groups, C/groups)
     reduction layout). Shares the GroupNorm's weight/bias arrays, so it can
     be applied after weight loading and reversed exactly by `unfuse()`.
+
+    Measured SLOWER than the XLA path on v5e (see module docstring); apply
+    only after measuring on your own hardware/shapes.
     """
 
     def __init__(self, gn: fl.GroupNorm) -> None:

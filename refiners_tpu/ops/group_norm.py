@@ -23,6 +23,14 @@ pure lane occupancy in the reduction plus guaranteed SiLU fusion into the
 normalize pass. Differentiable via ``jax.custom_vjp`` with an XLA-recompute
 backward (the op is an inference-path rewrite; training keeps the plain
 layers).
+
+MEASURED RESULT (v5e, SDXL 1024² 30-step diffuse, interleaved A/B, honest
+device→host sync): plain XLA 3.87s vs fused 4.57s median — the kernel is
+18% SLOWER end-to-end. XLA fuses its GN passes into the neighbouring convs
+(its "2R+1W" is really less, amortized into producers/consumers), and every
+pallas_call is a fusion barrier. The kernel stays available for parts/shapes
+where the layout argument wins; `fuse_group_norm_silu` is never applied
+automatically (same policy as QKV fusion, optimization.py).
 """
 
 from __future__ import annotations
