@@ -76,10 +76,18 @@ def convert_controllora_sdxl(state_dict: dict[str, Any], name: str = "converted"
 
     converted: dict[str, Any] = {}
 
-    # loras: keyed by target path relative to the ControlLora, torch layout
+    # loras: keyed by target path relative to the ControlLora, torch layout.
+    # Eject the adapters first so each path reads as if never injected — the
+    # runtime loader resolves these paths on a bare tree (reference
+    # controllora_sdxl.py:88-93 does the same).
+    entries: list[tuple[Any, LoraAdapter]] = []
     for lora in control_lora.layers(Lora, recurse=True):
         lora_adapter = lora.parent
         assert isinstance(lora_adapter, LoraAdapter)
+        entries.append((lora, lora_adapter))
+    for _, lora_adapter in entries:
+        lora_adapter.eject()
+    for lora, lora_adapter in entries:
         target = lora_adapter.target
         path = target.get_path(parent=control_lora.ensure_find_parent(target))
         down, up = lora.checkpoint_weights()
@@ -95,12 +103,11 @@ def convert_controllora_sdxl(state_dict: dict[str, Any], name: str = "converted"
         if conv.bias is not None:
             converted[f"{key}.bias"] = conv.bias
 
-    # condition encoder convs (torch OIHW)
+    # condition encoder convs (torch OIHW); walk yields (module, parent)
     encoder = control_lora.ensure_find(ConditionEncoder)
-    enc_path = encoder.get_path()
-    for conv_path, conv in encoder.walk(fl.Conv2d, recurse=True):
-        path = conv.get_path(parent=conv_path)
-        key = _simplify_key(path if path.startswith("ConditionEncoder") else f"{enc_path}.{path}", "ConditionEncoder")
+    for conv, conv_parent in encoder.walk(fl.Conv2d, recurse=True):
+        path = conv.get_path(parent=conv_parent)
+        key = _simplify_key(path, "ConditionEncoder")
         converted[f"{key}.weight"] = jnp.transpose(conv.weight, (3, 2, 0, 1))
         if conv.bias is not None:
             converted[f"{key}.bias"] = conv.bias

@@ -166,3 +166,101 @@ def test_control_lora_original_format_parity() -> None:
     got = np.asarray(our_unet(jnp.asarray(x.transpose(0, 2, 3, 1)))).transpose(0, 3, 1, 2)
 
     np.testing.assert_allclose(got, expected, atol=5e-3)
+
+
+@pytest.mark.slow
+def test_convert_controllora_roundtrip() -> None:
+    """Original-format checkpoint → convert_controllora_sdxl → refiners-hub
+    layout → load_weights on a fresh adapter reproduces the same weights the
+    runtime original-format loader produces."""
+    import jax.numpy as jnp
+
+    from refiners_tpu.conversion.models.control_lora_sdxl import convert_controllora_sdxl
+    from refiners_tpu.fluxion import manual_seed
+    from refiners_tpu.fluxion.adapters.lora import Lora
+    from refiners_tpu.foundationals.latent_diffusion import ControlLoraAdapter
+    from refiners_tpu.foundationals.latent_diffusion.stable_diffusion_xl import SDXLUNet
+
+    # synthesize an original checkpoint against our own tree (shape source only)
+    manual_seed(0)
+    unet = SDXLUNet(in_channels=4)
+    adapter = ControlLoraAdapter(name="probe", target=unet).inject()
+    checkpoint_np = _original_checkpoint_from_ours(adapter.control_lora, seed=3)
+    adapter.load_original_weights(checkpoint_np)
+    direct = {
+        path: arr for path, arr in adapter.control_lora.state_dict().items()
+    }
+    adapter.eject()
+
+    converted = convert_controllora_sdxl(checkpoint_np, name="probe")
+    assert any(k.endswith(".down") for k in converted)
+    assert any(k.startswith("ZeroConvolution_01.") for k in converted)
+    assert any(k.startswith("ConditionEncoder.") for k in converted)
+
+    manual_seed(0)
+    unet2 = SDXLUNet(in_channels=4)
+    adapter2 = ControlLoraAdapter(name="probe", target=unet2).inject()
+    adapter2.load_weights({k: jnp.asarray(v) for k, v in converted.items()})
+    reloaded = {path: arr for path, arr in adapter2.control_lora.state_dict().items()}
+
+    import numpy as np
+
+    assert direct.keys() == reloaded.keys()
+    mismatches = [
+        k for k in direct if not np.allclose(np.asarray(direct[k]), np.asarray(reloaded[k]), atol=1e-6)
+    ]
+    assert not mismatches, f"{len(mismatches)} mismatching weights, e.g. {mismatches[:5]}"
+
+
+def _original_checkpoint_from_ours(control_lora, seed: int) -> dict:
+    """Original-LDM-format synthetic checkpoint shaped from OUR tree (torch
+    layouts: lora down/up OIHW / (out,in), convs OIHW)."""
+    import numpy as np
+
+    import refiners_tpu.fluxion.layers as fl
+    from refiners_tpu.foundationals.latent_diffusion.stable_diffusion_xl.control_lora import (
+        ConditionEncoder,
+        ZeroConvolution,
+    )
+
+    rank = 4
+    rs = np.random.RandomState(seed)
+    t = lambda *shape: (rs.randn(*shape) * 0.05).astype(np.float32)  # noqa: E731
+
+    sd: dict = {}
+    n = 0
+    excluded = set()
+    for module in (ConditionEncoder, ZeroConvolution):
+        for sub in control_lora.layers(module, recurse=True):
+            excluded.update(id(w) for w in sub.layers(fl.WeightedModule, recurse=True))
+    # every Linear AND every Conv2d (1x1 shortcuts included) outside the
+    # excluded subtrees — exactly the auto-attach candidate set, so run-1
+    # attaches everything and the double-run sanity finds no bare targets
+    for layer in control_lora.layers(fl.WeightedModule, recurse=True):
+        if id(layer) in excluded:
+            continue
+        stem = f"lora.a{n:04d}"
+        if isinstance(layer, fl.Linear):
+            d_in, d_out = layer.weight.shape  # ours is (in, out)
+            sd[f"{stem}.down"] = t(rank, d_in)
+            sd[f"{stem}.up"] = t(d_out, rank)
+            n += 1
+        elif isinstance(layer, fl.Conv2d):
+            kh, kw, d_in, d_out = layer.weight.shape  # ours is HWIO
+            sd[f"{stem}.down"] = t(rank, d_in, kh, kw)
+            sd[f"{stem}.up"] = t(d_out, rank, 1, 1)
+            n += 1
+
+    encoder = control_lora.ensure_find(ConditionEncoder)
+    for i, conv in enumerate(encoder.layers(fl.Conv2d, recurse=True)):
+        kh, kw, d_in, d_out = conv.weight.shape
+        sd[f"input_hint_block.{2 * i}.weight"] = t(d_out, d_in, kh, kw)
+        sd[f"input_hint_block.{2 * i}.bias"] = t(d_out)
+
+    zero_convs = [z.ensure_find(fl.Conv2d) for z in control_lora.layers(ZeroConvolution, recurse=True)]
+    for i, conv in enumerate(zero_convs):
+        kh, kw, d_in, d_out = conv.weight.shape
+        stem = f"zero_convs.{i}.0" if i < len(zero_convs) - 1 else "middle_block_out.0"
+        sd[f"{stem}.weight"] = t(d_out, d_in, kh, kw)
+        sd[f"{stem}.bias"] = t(d_out)
+    return sd
