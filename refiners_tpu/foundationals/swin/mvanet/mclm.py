@@ -39,13 +39,16 @@ class PerPixel(fl.Chain):
 class PositionEmbeddingSine(fl.Module):
     """Non-trainable DETR-style sine position embedding (mclm.py:23)."""
 
-    _pytree_ignore = fl.Module._pytree_ignore | {"dim_t"}
-
     def __init__(self, num_pos_feats: int) -> None:
         super().__init__()
-        temperature = 10000
-        t = np.arange(0, num_pos_feats, dtype=np.float32)
-        self.dim_t = temperature ** (2 * (t // 2) / num_pos_feats)
+        self.num_pos_feats = num_pos_feats
+
+    @property
+    def dim_t(self) -> "np.ndarray":
+        # derived from the static int (NOT stored: stored ndarrays would be
+        # dropped on pytree unflatten, breaking the module under jit)
+        t = np.arange(0, self.num_pos_feats, dtype=np.float32)
+        return 10000 ** (2 * (t // 2) / self.num_pos_feats)
 
     def __call__(self, h: int, w: int) -> jax.Array:
         y_embed = np.cumsum(np.ones((1, h, w, 1), dtype=np.float32), axis=1)

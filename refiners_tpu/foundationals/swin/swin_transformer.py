@@ -59,7 +59,15 @@ def get_attn_mask(H: int, window_size: int) -> jax.Array:
         for w in slices:
             img_mask[:, h, w, :] = cnt
             cnt += 1
-    mask_windows = np.asarray(to_windows(jnp.asarray(img_mask), window_size)).squeeze()
+    # pure-numpy windowing: this runs for its side effect of building a
+    # CONSTANT — routing it through jnp would trace it under jit and crash
+    # (and poison the cache with a tracer)
+    hw = H // window_size
+    mask_windows = (
+        img_mask.reshape(1, hw, window_size, hw, window_size, 1)
+        .transpose(0, 1, 3, 2, 4, 5)
+        .reshape(hw * hw, window_size * window_size)
+    )
     attn_mask = mask_windows[:, None, :] - mask_windows[:, :, None]
     attn_mask = np.where(attn_mask != 0, -100.0, 0.0).astype(np.float32)
     return jnp.asarray(attn_mask)
