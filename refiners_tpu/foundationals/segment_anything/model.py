@@ -8,11 +8,13 @@ reference's (N, M, H, W) layout with a bool dtype when binarized.
 
 from __future__ import annotations
 
+import functools
 from dataclasses import dataclass
 from typing import Any, Sequence
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from PIL import Image
 
 import refiners_tpu.fluxion.layers as fl
@@ -30,6 +32,78 @@ from refiners_tpu.foundationals.segment_anything.utils import (
 class ImageEmbedding:
     features: jax.Array  # (1, H, W, 256) NHWC
     original_image_size: tuple[int, int]  # (height, width)
+    # context values captured during encoding that later stages consume
+    # (e.g. HQ-SAM's early ViT embedding); threaded explicitly because
+    # contexts do not survive across separate jitted programs
+    captured_contexts: dict[str, dict[str, jax.Array]] | None = None
+
+
+# context keys written by the encoder and read by the decoder, per adapter
+_CROSS_STAGE_CONTEXTS: tuple[tuple[str, str], ...] = (("hq_sam", "early_vit_embedding"),)
+
+
+def _root_chain(module: fl.Chain) -> fl.Chain:
+    """Top-most chain (an injected adapter, e.g. HQSAMAdapter, if present) —
+    jit must trace from the root so adapter-declared contexts are rebuilt."""
+    node: fl.Chain = module
+    while getattr(node, "parent", None) is not None:
+        node = node.parent  # type: ignore[assignment]
+    return node
+
+
+@jax.jit
+def _encode_image(root: fl.Chain, x: jax.Array) -> tuple[jax.Array, dict]:
+    features = root.ensure_find(SAMViT)(x)
+    captured: dict = {}
+    for context, key in _CROSS_STAGE_CONTEXTS:
+        store = root.provider.get_context(context)
+        if store is not None and store.get(key) is not None:
+            captured.setdefault(context, {})[key] = store[key]
+    return features, captured
+
+
+@jax.jit
+def _encode_mask(mask_encoder: "MaskEncoder", low_res_mask: jax.Array) -> jax.Array:
+    return mask_encoder(low_res_mask)
+
+
+@functools.partial(jax.jit, static_argnums=(3,))
+def _decode_masks(
+    root: fl.Chain,
+    image_embedding: jax.Array,
+    coordinates: jax.Array,
+    type_mask_tuple: tuple[tuple[int, ...], ...],
+    mask_embedding: jax.Array,
+    captured_contexts: dict,
+) -> tuple[jax.Array, jax.Array]:
+    """Prompt-encode + mask-decode as ONE compiled program.
+
+    Eager dispatch here costs one host round-trip per op — ruinous over a
+    remote TPU runtime; jit caches per (structure, shapes). The type mask is
+    STATIC (a tuple): the prompt-padding rule branches on its values on the
+    host, so each prompt configuration (points-only, box, ...) compiles its
+    own specialization — contexts cannot carry it in, as the provider is
+    rebuilt empty when the pytree is unflattened inside the trace. Encoder-
+    stage context values (HQ-SAM's early ViT embedding) arrive as explicit
+    traced arguments and are re-seeded here for the same reason.
+    """
+    for context, store in captured_contexts.items():
+        root.set_context(context, dict(store))
+    point_encoder = root.ensure_find(PointEncoder)
+    image_embedding_size = root.ensure_find(SAMViT).image_embedding_size
+    mask_decoder = root.ensure_find(MaskDecoder)
+
+    type_mask = np.asarray(type_mask_tuple, dtype=np.int32)
+    point_encoder.set_type_mask(type_mask=type_mask)
+    point_embedding = point_encoder(coordinates)
+    dense_positional_embedding = point_encoder.get_dense_positional_embedding(
+        image_embedding_size=image_embedding_size
+    )
+    mask_decoder.set_image_embedding(image_embedding=image_embedding)
+    mask_decoder.set_mask_embedding(mask_embedding=mask_embedding)
+    mask_decoder.set_point_embedding(point_embedding=point_embedding)
+    mask_decoder.set_dense_positional_embedding(dense_positional_embedding=dense_positional_embedding)
+    return mask_decoder()
 
 
 class SegmentAnything(fl.Chain):
@@ -66,9 +140,11 @@ class SegmentAnything(fl.Chain):
 
     def compute_image_embedding(self, image: Image.Image) -> ImageEmbedding:
         original_size = (image.height, image.width)
+        features, captured = _encode_image(_root_chain(self), self.preprocess_image(image))
         return ImageEmbedding(
-            features=self.image_encoder(self.preprocess_image(image)),
+            features=features,
             original_image_size=original_size,
+            captured_contexts=captured,
         )
 
     def predict(
@@ -82,38 +158,36 @@ class SegmentAnything(fl.Chain):
     ) -> tuple[jax.Array, jax.Array, jax.Array]:
         """Points/boxes/mask prompts → (masks, iou_predictions, low_res_masks)
         (model.py:97-160). `low_res_mask` uses the (1, 1, 256, 256) layout."""
+        root = _root_chain(self)
         if isinstance(input, ImageEmbedding):
             original_size = input.original_image_size
             image_embedding = input.features
+            captured_contexts = dict(input.captured_contexts or {})
         else:
             original_size = (input.height, input.width)
-            image_embedding = self.image_encoder(self.preprocess_image(input))
+            image_embedding, captured_contexts = _encode_image(root, self.preprocess_image(input))
 
         coordinates, type_mask = self.point_encoder.points_to_tensor(
             foreground_points=foreground_points,
             background_points=background_points,
             box_points=box_points,
         )
-        self.point_encoder.set_type_mask(type_mask=type_mask)
 
         if low_res_mask is not None:
-            mask_embedding = self.mask_encoder(low_res_mask.transpose(0, 2, 3, 1))  # to NHWC
+            mask_embedding = _encode_mask(self.mask_encoder, low_res_mask.transpose(0, 2, 3, 1))  # to NHWC
         else:
             mask_embedding = self.mask_encoder.get_no_mask_dense_embedding(
                 image_embedding_size=self.image_encoder.image_embedding_size
             )
 
-        point_embedding = self.point_encoder(self.normalize(coordinates, original_size=original_size))
-        dense_positional_embedding = self.point_encoder.get_dense_positional_embedding(
-            image_embedding_size=self.image_encoder.image_embedding_size
+        low_res_masks, iou_predictions = _decode_masks(
+            root,
+            image_embedding,
+            self.normalize(coordinates, original_size=original_size),
+            tuple(tuple(int(v) for v in row) for row in np.asarray(type_mask)),
+            mask_embedding,
+            captured_contexts,
         )
-
-        self.mask_decoder.set_image_embedding(image_embedding=image_embedding)
-        self.mask_decoder.set_mask_embedding(mask_embedding=mask_embedding)
-        self.mask_decoder.set_point_embedding(point_embedding=point_embedding)
-        self.mask_decoder.set_dense_positional_embedding(dense_positional_embedding=dense_positional_embedding)
-
-        low_res_masks, iou_predictions = self.mask_decoder()
         high_res_masks = self.postprocess_masks(low_res_masks, original_size)
 
         if binarize:

@@ -65,23 +65,19 @@ class PointTypeEmbedding(fl.WeightedModule, fl.ContextModule):
         return jnp.where(valid[..., None], emb, 0.0)
 
 
-class PointEncoder(fl.Chain):
-    def __init__(self, embedding_dim: int = 256, scale: float = 1, device: Any = None, dtype: Any = None) -> None:
-        assert embedding_dim % 2 == 0, "embedding_dim must be divisible by 2."
-        self.embedding_dim = embedding_dim
-        self.scale = scale
-        super().__init__(
-            CoordinateEncoder(num_positional_features=embedding_dim // 2, scale=scale, device=device, dtype=dtype),
-            fl.Lambda(func=self.pad),
-            fl.Residual(
-                fl.UseContext(context="point_encoder", key="type_mask"),
-                PointTypeEmbedding(embedding_dim=embedding_dim, device=device, dtype=dtype),
-            ),
-        )
+class PadPoints(fl.ContextModule):
+    """Append a NOT_A_POINT pad token when no boxes are present.
 
-    def pad(self, x: jax.Array) -> jax.Array:
-        """Append a NOT_A_POINT pad token when no boxes are present."""
-        type_mask: jax.Array = self.use_context("point_encoder")["type_mask"]
+    A proper module, NOT a bound-method Lambda: under jit the pytree is
+    unflattened into fresh instances, and a bound method would keep reading
+    the ORIGINAL instance's (empty) context provider. The padding decision
+    branches on the type-mask VALUES on the host, so the mask must be a
+    concrete (trace-time constant) array — see model._decode_masks.
+    """
+
+    def forward(self, x: jax.Array) -> jax.Array:
+        context = self.use_context("point_encoder")
+        type_mask: jax.Array = context["type_mask"]
         has_box = bool(
             np.any(
                 (np.asarray(type_mask) == PointType.BOX_TOP_LEFT.value)
@@ -91,8 +87,28 @@ class PointEncoder(fl.Chain):
         if has_box:
             return x
         pad_ids = jnp.full((type_mask.shape[0], 1), PointType.NOT_A_POINT.value, dtype=type_mask.dtype)
-        self.set_context("point_encoder", {"type_mask": jnp.concatenate([type_mask, pad_ids], axis=1)})
+        # write through the parent CHAIN so the update cascades into sibling
+        # sub-chains' providers (each holds its own copy of this context —
+        # a plain provider write would leave the Residual's stale)
+        parent = self.parent
+        assert isinstance(parent, fl.Chain)
+        parent.set_context("point_encoder", {"type_mask": jnp.concatenate([type_mask, pad_ids], axis=1)})
         return jnp.concatenate([x, jnp.zeros((x.shape[0], 1, x.shape[-1]), dtype=x.dtype)], axis=1)
+
+
+class PointEncoder(fl.Chain):
+    def __init__(self, embedding_dim: int = 256, scale: float = 1, device: Any = None, dtype: Any = None) -> None:
+        assert embedding_dim % 2 == 0, "embedding_dim must be divisible by 2."
+        self.embedding_dim = embedding_dim
+        self.scale = scale
+        super().__init__(
+            CoordinateEncoder(num_positional_features=embedding_dim // 2, scale=scale, device=device, dtype=dtype),
+            PadPoints(),
+            fl.Residual(
+                fl.UseContext(context="point_encoder", key="type_mask"),
+                PointTypeEmbedding(embedding_dim=embedding_dim, device=device, dtype=dtype),
+            ),
+        )
 
     def init_context(self) -> Contexts:
         return {"point_encoder": {"type_mask": None}}
