@@ -23,6 +23,22 @@ import jax.numpy as jnp
 _FLASH_MIN_SEQ = 1024
 
 
+def flash_capable(x: jax.Array) -> bool:
+    """True when the Pallas kernel can COMPILE for `x`'s execution target.
+
+    `jax.default_backend()` alone is wrong in mixed-device processes: under
+    ``jax.default_device(cpu)`` on a TPU-default process the op runs on CPU
+    arrays, where Pallas only supports interpret mode. Eager arrays report
+    their actual device; tracers fall back to the default backend (the jit
+    compile target).
+    """
+    try:
+        devices = x.devices()  # concrete arrays only
+    except Exception:
+        return jax.default_backend() != "cpu"
+    return all(d.platform != "cpu" for d in devices)
+
+
 def _xla_attention(
     q: jax.Array,
     k: jax.Array,
@@ -64,11 +80,7 @@ def dot_product_attention(
     """
     assert q.ndim == 4, f"expected (B, H, L, D), got {q.shape}"
     if use_flash is None:
-        use_flash = (
-            q.shape[-2] >= _FLASH_MIN_SEQ
-            and k.shape[-2] >= _FLASH_MIN_SEQ
-            and jax.default_backend() != "cpu"
-        )
+        use_flash = q.shape[-2] >= _FLASH_MIN_SEQ and k.shape[-2] >= _FLASH_MIN_SEQ and flash_capable(q)
     if use_flash:
         from refiners_tpu.ops.flash_attention import flash_attention
 
