@@ -25,7 +25,9 @@ def main() -> None:
     parser = argparse.ArgumentParser()
     parser.add_argument("--data-parallel", action="store_true", help="DP-shard a multi-image batch over all devices")
     parser.add_argument("--batch", type=int, default=None, help="images per diffuse call (defaults to device count)")
-    parser.add_argument("--runs", type=int, default=3)
+    # median over 5: a single depressed run (host core still draining prior
+    # work, tunnel hiccup) must not set the headline number
+    parser.add_argument("--runs", type=int, default=5)
     args = parser.parse_args()
 
     import os
