@@ -137,6 +137,10 @@ def main() -> None:
     print(
         json.dumps(
             {
+                # weights are synthetic (materialized on device with init-like
+                # statistics, see above) — timing-identical to real weights
+                # since the compute is data-independent, but self-describing
+                "synthetic_weights": True,
                 "metric": f"SDXL 1024x1024 30-step txt2img (bf16, CFG{suffix})",
                 "value": round(value, 4),
                 "unit": "img/s",

@@ -24,19 +24,23 @@ _FLASH_MIN_SEQ = 1024
 
 
 def flash_capable(x: jax.Array) -> bool:
-    """True when the Pallas kernel can COMPILE for `x`'s execution target.
+    """True when the Pallas TPU kernel can COMPILE for `x`'s execution target.
 
     `jax.default_backend()` alone is wrong in mixed-device processes: under
     ``jax.default_device(cpu)`` on a TPU-default process the op runs on CPU
     arrays, where Pallas only supports interpret mode. Eager arrays report
-    their actual device; tracers fall back to the default backend (the jit
-    compile target).
+    their actual device. Tracers carry no device, so we fall back to the
+    default backend — a HEURISTIC, not the true jit compile target: a program
+    compiled for CPU inside a TPU-default process would still auto-select the
+    kernel. CPU-facing paths that jit under such a process must pass
+    `use_flash=False` explicitly. Only `platform == "tpu"` selects the kernel
+    (the kernel is pltpu-specific; a GPU backend must not pick it up).
     """
     try:
         devices = x.devices()  # concrete arrays only
     except Exception:
-        return jax.default_backend() != "cpu"
-    return all(d.platform != "cpu" for d in devices)
+        return jax.default_backend() == "tpu"
+    return all(d.platform == "tpu" for d in devices)
 
 
 def _xla_attention(
@@ -86,8 +90,11 @@ def dot_product_attention(
 
         bias = mask
         if bias is not None and bias.dtype == jnp.bool_:
-            # boolean keep-mask → large negative additive bias (the kernel's
-            # online softmax zeroes these positions exactly)
+            # boolean keep-mask → large negative additive bias. Masked
+            # positions get exactly zero weight PROVIDED at least one key in
+            # the row survives; a row whose keys are ALL masked degenerates to
+            # uniform attention here (every score ties at -1e30) where the
+            # XLA path would return NaN. No model in the zoo emits such rows.
             bias = jnp.where(bias, 0.0, -1e30).astype(jnp.float32)
         return flash_attention(q, k, v, bias=bias, is_causal=is_causal, scale=scale)
     return _xla_attention(q, k, v, mask=mask, is_causal=is_causal, scale=scale)

@@ -53,7 +53,15 @@ def _round_up(x: int, m: int) -> int:
 
 
 def _stats_kernel(x_ref, sums_ref, acc_ref, *, s_len: int, block_s: int, num_s_blocks: int):
-    """Accumulate per-channel [Σx, Σx²] (f32) across sequential S blocks."""
+    """Accumulate per-channel [Σx, Σx²] (f32) across sequential S blocks.
+
+    Numerics caveat: variance is formed as E[x²]−E[x]² in a single pass; for
+    activations whose mean is large relative to their spread, f32 cancellation
+    loses precision vs the reference's two-pass variance. Mitigated in
+    practice by bf16 inputs (the data has ≤8 bits of mantissa to begin with)
+    and by the kernel being opt-in, never auto-applied; switch to a shifted /
+    Welford accumulation if parity tests ever show drift at wide channels.
+    """
     s_blk = pl.program_id(1)
 
     @pl.when(s_blk == 0)
