@@ -98,9 +98,9 @@ class RelativePositionAttention(fl.WeightedModule):
 
         h_rel, v_rel = self.compute_relative_embedding(query)
 
-        from refiners_tpu.ops.attention import _FLASH_MIN_SEQ, flash_capable
+        from refiners_tpu.ops.attention import flash_auto
 
-        if seq >= _FLASH_MIN_SEQ and flash_capable(query):
+        if flash_auto(query, seq):
             # long (global-attention) layers ride the Pallas flash kernel with
             # the decomposed rel-pos as an additive bias — softmax
             # intermediates stay O(block²) instead of two O(L²) f32 tensors

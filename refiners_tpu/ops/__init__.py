@@ -5,7 +5,7 @@ the hot math lives here so it can be swapped between a pure-XLA path and
 Pallas kernels without touching model code.
 """
 
-from refiners_tpu.ops.attention import dot_product_attention, scaled_dot_product_attention
+from refiners_tpu.ops.attention import dot_product_attention, force_flash, scaled_dot_product_attention
 from refiners_tpu.ops.group_norm import group_norm_silu
 
-__all__ = ["dot_product_attention", "group_norm_silu", "scaled_dot_product_attention"]
+__all__ = ["dot_product_attention", "force_flash", "group_norm_silu", "scaled_dot_product_attention"]

@@ -10,8 +10,10 @@ Layout: (batch, num_heads, seq, head_dim) for the 4-D entry points.
 
 from __future__ import annotations
 
+import contextlib
 import functools
 import math
+from typing import Iterator
 
 import jax
 import jax.numpy as jnp
@@ -21,6 +23,36 @@ import jax.numpy as jnp
 # >=4096 4.69s, flash at >=1024 4.57s. Below 1024 the L² buffer fits in
 # VMEM-resident fusions and launch overhead dominates.
 _FLASH_MIN_SEQ = 1024
+
+# test/deployment override for the auto-selection: None = auto (backend +
+# sequence-length heuristics), True/False = force. Set via `force_flash`.
+_FLASH_OVERRIDE: bool | None = None
+
+
+@contextlib.contextmanager
+def force_flash(enabled: bool = True) -> Iterator[None]:
+    """Force the flash path on (or off) for every auto-selected call site.
+
+    Off-TPU the kernels run through the Pallas interpreter (see
+    `flash_attention._interpret`), so `force_flash()` lets the full
+    flash-in-model program — including its mesh-sharded composition — execute
+    and be verified on the CPU backend. Applies at TRACE time: enter the
+    context before jit-compiling the program under test.
+    """
+    global _FLASH_OVERRIDE
+    prev = _FLASH_OVERRIDE
+    _FLASH_OVERRIDE = enabled
+    try:
+        yield
+    finally:
+        _FLASH_OVERRIDE = prev
+
+
+def flash_auto(x: jax.Array, *seq_lens: int) -> bool:
+    """The auto-selection policy: override if set, else backend + seq gates."""
+    if _FLASH_OVERRIDE is not None:
+        return _FLASH_OVERRIDE
+    return all(s >= _FLASH_MIN_SEQ for s in seq_lens) and flash_capable(x)
 
 
 def flash_capable(x: jax.Array) -> bool:
@@ -84,7 +116,7 @@ def dot_product_attention(
     """
     assert q.ndim == 4, f"expected (B, H, L, D), got {q.shape}"
     if use_flash is None:
-        use_flash = q.shape[-2] >= _FLASH_MIN_SEQ and k.shape[-2] >= _FLASH_MIN_SEQ and flash_capable(q)
+        use_flash = flash_auto(q, q.shape[-2], k.shape[-2])
     if use_flash:
         from refiners_tpu.ops.flash_attention import flash_attention
 

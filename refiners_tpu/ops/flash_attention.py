@@ -34,7 +34,9 @@ import math
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
+from jax.experimental.custom_partitioning import custom_partitioning
 from jax.experimental.pallas import tpu as pltpu
+from jax.sharding import NamedSharding, PartitionSpec as P
 
 _LANE = 128
 _NEG_INF = -1e30
@@ -53,6 +55,18 @@ _BLOCK_K_BWD = 512
 
 def _round_up(x: int, m: int) -> int:
     return (x + m - 1) // m * m
+
+
+def _interpret() -> bool:
+    """Run the kernels through the Pallas interpreter off-TPU.
+
+    This makes the kernels executable (and therefore testable, including
+    under mesh sharding) on the CPU backend; on TPU they compile for real.
+    Uses the generic ``interpret=True`` interpreter rather than
+    ``pltpu.force_tpu_interpret_mode`` because the latter lowers through
+    ordered host callbacks, which `custom_partitioning` cannot stage.
+    """
+    return jax.default_backend() != "tpu"
 
 
 # ---------------------------------------------------------------------------
@@ -138,7 +152,11 @@ def _flash_forward(
     is_causal: bool,
     scale: float | None,
 ) -> tuple[jax.Array, jax.Array]:
-    """Returns (out (B,H,Lq,D), lse (B·H, Lq_pad, LANE) f32)."""
+    """Returns (out (B,H,Lq,D), lse (B,H,Lq_pad,LANE) f32).
+
+    `bias`, when present, must already be materialized at (B, H, Lq, Lk) —
+    the public entry broadcasts it so the partitioned op sees a full operand.
+    """
     b, h, lq, d = q.shape
     lk = k.shape[2]
     scale = scale if scale is not None else 1.0 / math.sqrt(d)
@@ -179,7 +197,7 @@ def _flash_forward(
     ]
     operands: list[jax.Array] = [qf, kf, vf]
     if bias is not None:
-        bias_f = jnp.broadcast_to(bias, (b, h, lq, lk)).reshape(b * h, lq, lk)
+        bias_f = bias.reshape(b * h, lq, lk)
         if lq_pad != lq or lk_pad != lk:
             bias_f = jnp.pad(bias_f, ((0, 0), (0, lq_pad - lq), (0, lk_pad - lk)))
         operands.append(bias_f)
@@ -212,8 +230,9 @@ def _flash_forward(
             bytes_accessed=(qf.size + kf.size + vf.size) * qf.dtype.itemsize,
             transcendentals=b * h * lq * lk,
         ),
+        interpret=_interpret(),
     )(*operands)
-    return out[:, :lq, :d].reshape(b, h, lq, d), lse
+    return out[:, :lq, :d].reshape(b, h, lq, d), lse.reshape(b, h, lq_pad, _LANE)
 
 
 # ---------------------------------------------------------------------------
@@ -316,7 +335,9 @@ def _flash_backward(
     delta = delta.reshape(b * h, lq)
     delta = jnp.pad(delta, ((0, 0), (0, lq_pad - lq)))[..., None]
     delta = jnp.broadcast_to(delta, (b * h, lq_pad, _LANE))
-    # lse arrives with the forward's padding geometry; re-pad if block sizes differ
+    # lse arrives 4-D with the forward's padding geometry; flatten heads and
+    # re-pad if the backward block sizes differ
+    lse = lse.reshape(b * h, lse.shape[2], _LANE)
     if lse.shape[1] != lq_pad:
         lse = lse[:, : min(lse.shape[1], lq_pad)]
         lse = jnp.pad(lse, ((0, 0), (0, lq_pad - lse.shape[1]), (0, 0)), constant_values=0.0)
@@ -365,6 +386,7 @@ def _flash_backward(
             bytes_accessed=(qf.size + kf.size + vf.size + gf.size) * qf.dtype.itemsize,
             transcendentals=b * h * lq * lk,
         ),
+        interpret=_interpret(),
     )(qf, kf, vf, gf, lse, delta)
 
     dq_q_spec = pl.BlockSpec((1, block_q, d_pad), lambda i, j, n: (i, j, 0), memory_space=pltpu.VMEM)
@@ -389,6 +411,7 @@ def _flash_backward(
             bytes_accessed=(qf.size + kf.size + vf.size + gf.size) * qf.dtype.itemsize,
             transcendentals=b * h * lq * lk,
         ),
+        interpret=_interpret(),
     )(qf, kf, vf, gf, lse, delta)
 
     return (
@@ -396,6 +419,84 @@ def _flash_backward(
         dk[:, :lk, :d].reshape(b, h, lk, d),
         dv[:, :lk, :d].reshape(b, h, lk, d),
     )
+
+
+# ---------------------------------------------------------------------------
+# mesh partitioning (GSPMD / Shardy) for the kernel calls
+# ---------------------------------------------------------------------------
+#
+# A bare `pallas_call` has no SPMD partitioning rule: inside a sharded jit,
+# GSPMD would replicate its operands (an all-gather per attention layer,
+# destroying the TP win) or fail to propagate. These wrappers register the
+# flash ops as custom-partitioned over the (batch, heads) dims — exactly the
+# grid's embarrassingly-parallel axes — so DP shards batch and megatron-style
+# TP shards heads with ZERO communication inside attention; sequence and
+# head_dim are forced replicated (the online-softmax K/V stream is sequential
+# per head). The Shardy `sharding_rule` handles propagation; the GSPMD
+# `infer_sharding_from_operands` covers the non-Shardy path.
+
+
+def _bh_axes(arg_shapes) -> tuple:
+    """(batch, heads) mesh axes taken from the q operand's sharding."""
+    spec = arg_shapes[0].sharding.spec
+    b = spec[0] if len(spec) > 0 else None
+    h = spec[1] if len(spec) > 1 else None
+    return b, h
+
+
+@functools.lru_cache(maxsize=None)
+def _partitioned_forward(is_causal: bool, scale: float | None, has_bias: bool):
+    """(q, k, v[, bias]) → (out, lse), partitionable over batch/heads."""
+
+    def impl(*args):
+        q, k, v = args[:3]
+        bias = args[3] if has_bias else None
+        return _flash_forward(q, k, v, bias, is_causal, scale)
+
+    op = custom_partitioning(impl)
+
+    def infer(mesh, arg_shapes, result_shape):
+        b, h = _bh_axes(arg_shapes)
+        s = NamedSharding(mesh, P(b, h, None, None))
+        return (s, s)
+
+    def partition(mesh, arg_shapes, result_shape):
+        b, h = _bh_axes(arg_shapes)
+        s = NamedSharding(mesh, P(b, h, None, None))
+        return mesh, impl, (s, s), tuple(s for _ in arg_shapes)
+
+    rule = "b h q d, b h k d, b h k d{} -> b h q d, b h p e".format(
+        ", b h q k" if has_bias else ""
+    )
+    op.def_partition(infer_sharding_from_operands=infer, partition=partition, sharding_rule=rule)
+    return op
+
+
+@functools.lru_cache(maxsize=None)
+def _partitioned_backward(is_causal: bool, scale: float | None):
+    """(q, k, v, o, lse, g) → (dq, dk, dv), partitionable over batch/heads."""
+
+    def impl(q, k, v, o, lse, g):
+        return _flash_backward(q, k, v, o, lse, g, is_causal, scale)
+
+    op = custom_partitioning(impl)
+
+    def infer(mesh, arg_shapes, result_shape):
+        b, h = _bh_axes(arg_shapes)
+        s = NamedSharding(mesh, P(b, h, None, None))
+        return (s, s, s)
+
+    def partition(mesh, arg_shapes, result_shape):
+        b, h = _bh_axes(arg_shapes)
+        s = NamedSharding(mesh, P(b, h, None, None))
+        return mesh, impl, (s, s, s), tuple(s for _ in arg_shapes)
+
+    op.def_partition(
+        infer_sharding_from_operands=infer,
+        partition=partition,
+        sharding_rule="b h q d, b h k d, b h k d, b h q d, b h p e, b h q d -> b h q d, b h k d, b h k d",
+    )
+    return op
 
 
 # ---------------------------------------------------------------------------
@@ -415,21 +516,32 @@ def flash_attention(
     """Flash attention over (B, H, L, D); bf16-friendly, O(L) memory.
 
     `bias` is an optional additive logits bias broadcastable to
-    (B, H, Lq, Lk), streamed through VMEM blockwise.
+    (B, H, Lq, Lk), streamed through VMEM blockwise. Composes with
+    `jax.sharding` meshes: the op partitions over batch ("data") and heads
+    ("tensor") with no collectives inside attention.
     """
-    out, _ = _flash_forward(q, k, v, bias, is_causal, scale)
+    out, _ = _run_forward(q, k, v, bias, is_causal, scale)
     return out
 
 
+def _run_forward(q, k, v, bias, is_causal, scale):
+    b, h, lq, _ = q.shape
+    lk = k.shape[2]
+    if bias is None:
+        return _partitioned_forward(is_causal, scale, False)(q, k, v)
+    bias = jnp.broadcast_to(bias, (b, h, lq, lk))
+    return _partitioned_forward(is_causal, scale, True)(q, k, v, bias)
+
+
 def _fwd(q, k, v, bias, is_causal, scale):
-    out, lse = _flash_forward(q, k, v, bias, is_causal, scale)
+    out, lse = _run_forward(q, k, v, bias, is_causal, scale)
     return out, (q, k, v, bias, out, lse)
 
 
 def _bwd(is_causal, scale, res, g):
     q, k, v, bias, out, lse = res
     if bias is None:
-        dq, dk, dv = _flash_backward(q, k, v, out, lse, g, is_causal, scale)
+        dq, dk, dv = _partitioned_backward(is_causal, scale)(q, k, v, out, lse, g)
         return dq, dk, dv, None
     # bias path: the bias gradient needs the full P matrix — recompute via XLA
     from refiners_tpu.ops.attention import _xla_attention
