@@ -25,6 +25,11 @@ def main() -> None:
     parser = argparse.ArgumentParser()
     parser.add_argument("--data-parallel", action="store_true", help="DP-shard a multi-image batch over all devices")
     parser.add_argument("--batch", type=int, default=None, help="images per diffuse call (defaults to device count)")
+    parser.add_argument(
+        "--int8",
+        action="store_true",
+        help="quantize UNet attention/FF linears to int8 (A/B the serving quant path)",
+    )
     # median over 5: a single depressed run (host core still draining prior
     # work, tunnel hiccup) must not set the headline number
     parser.add_argument("--runs", type=int, default=5)
@@ -58,6 +63,16 @@ def main() -> None:
             clip_text_encoder=fl.Chain(fl.Identity()),  # type: ignore[arg-type]
             solver=DDIM(num_inference_steps=30),
         )
+        if args.int8:
+            # opt-in serving quantization: int8 weights for every large UNet
+            # linear (attention/FF projections), per-channel scales — weight
+            # HBM traffic ÷2 vs bf16. Runs on the CPU copies (deterministic
+            # rounding) BEFORE device materialization; the timed program's
+            # int8 matmuls are identical to real quantized weights.
+            from refiners_tpu.fluxion.optimization import quantize_linears
+
+            n_quant = quantize_linears(sd.unet, min_features=256)
+            assert n_quant > 0, "no linears quantized"
     if jax.default_backend() != "cpu":
         dev = jax.devices()[0]
         sd.solver = jax.device_put(sd.solver, dev)
@@ -134,6 +149,8 @@ def main() -> None:
     # north star (BASELINE.json): >= 1 img/s per v5e-8, i.e. 0.125 img/s/chip
     per_chip_target = 0.125 * (n_dev if args.data_parallel else 1)
     suffix = f", DP batch {batch} over {n_dev} dev" if args.data_parallel else ", single v5e chip"
+    if args.int8:
+        suffix = ", int8 unet linears" + suffix
     print(
         json.dumps(
             {

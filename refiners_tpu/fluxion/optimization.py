@@ -24,6 +24,13 @@ import refiners_tpu.fluxion.layers as fl
 from refiners_tpu.fluxion.layers.attentions import SelfAttention
 from refiners_tpu.fluxion.layers.module import WeightedModule
 
+# int8 weight quantization is the third opt-in rewrite pass (same policy:
+# measure on your hardware/shapes before adopting). `quantize_linears(model)`
+# swaps every large fl.Linear for an int8 QuantizedLinear in place — weight
+# HBM traffic ÷2 vs bf16 — and is exercised end-to-end on the CLIP text
+# encoder (tests/fluxion/test_quant.py) and via `bench.py --int8`.
+from refiners_tpu.ops.quant import QuantizedLinear, quantize_linears  # noqa: F401  (re-export)
+
 
 class FusedQKVProjection(WeightedModule):
     """One (in, 3·inner) matmul replacing a Distribute of three Linears.

@@ -33,8 +33,11 @@ def _quantize_kernel(x_ref, seed_ref, values_ref, scales_ref):
 def quantize_int8(w: jax.Array, seed: int = 0) -> tuple[jax.Array, jax.Array]:
     """(in, out) float weight → (int8 values, (1, out) f32 scales)."""
     assert w.ndim == 2
-    use_interpret = jax.default_backend() == "cpu"
-    if use_interpret:
+    try:
+        on_tpu = all(d.platform == "tpu" for d in w.devices())
+    except Exception:  # tracer: fall back to the compile-target heuristic
+        on_tpu = jax.default_backend() == "tpu"
+    if not on_tpu:
         # stochastic_round is TPU-only; deterministic rounding on CPU
         abs_max = jnp.max(jnp.abs(w), axis=0, keepdims=True)
         scale = jnp.maximum(abs_max, 1e-8) / 127.0

@@ -44,6 +44,40 @@ def test_quantize_linears_in_place() -> None:
     assert out.shape == (1, 32)
 
 
+def test_quantize_clip_text_encoder_end_to_end() -> None:
+    """The advertised integration path: int8-quantize a real CLIP text
+    encoder and keep the prompt embedding within a tight envelope.
+
+    Uses a reduced-width CLIPTextEncoder (same class, fewer layers) with the
+    real tokenizer when the vocab asset is present, else a token-id forward."""
+    from pathlib import Path
+
+    from refiners_tpu.fluxion import manual_seed
+    from refiners_tpu.fluxion.optimization import quantize_linears as ql
+    from refiners_tpu.foundationals.clip import CLIPTextEncoder
+
+    manual_seed(0)
+    vocab = Path("/root/reference/src/refiners/foundationals/clip/bpe_simple_vocab_16e6.txt.gz")
+    encoder = CLIPTextEncoder(embedding_dim=256, num_layers=4, num_attention_heads=4, feedforward_dim=1024)
+    if vocab.exists():
+        inp: object = "a photo of a cat riding a bicycle"
+    else:
+        encoder.pop(0)  # drop the tokenizer layer; feed token ids directly
+        inp = jnp.asarray(np.random.RandomState(0).randint(0, 49408, size=(1, 77)))
+
+    expected = encoder(inp)
+    n = ql(encoder, min_features=256)
+    assert n >= 4 * 4, f"expected all attention+FF projections quantized, got {n}"
+    out = encoder(inp)
+
+    cos = float(
+        jnp.sum(expected * out) / (jnp.linalg.norm(expected) * jnp.linalg.norm(out))
+    )
+    rel = float(jnp.linalg.norm(out - expected) / jnp.linalg.norm(expected))
+    assert cos > 0.999, f"cosine {cos}"
+    assert rel < 0.05, f"relative error {rel}"
+
+
 def test_quantized_linear_under_jit() -> None:
     lin = fl.Linear(256, 256)
     model = fl.Chain(lin)
