@@ -10,8 +10,11 @@ inherit their authority from that verification.
 from __future__ import annotations
 
 import sys
+from pathlib import Path
 
 import jax
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[2]))  # repo root
 
 
 def main() -> None:
