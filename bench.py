@@ -33,6 +33,11 @@ def main() -> None:
     # median over 5: a single depressed run (host core still draining prior
     # work, tunnel hiccup) must not set the headline number
     parser.add_argument("--runs", type=int, default=5)
+    parser.add_argument(
+        "--breakdown",
+        action="store_true",
+        help="also print a per-phase profile (unet step / solver / decode / scan+host gap) as a second JSON line",
+    )
     args = parser.parse_args()
 
     import os
@@ -144,6 +149,54 @@ def main() -> None:
         times.append(time.perf_counter() - t0)
     times.sort()
     dt = times[len(times) // 2]
+
+    if args.breakdown:
+        # Per-phase wall-clock attribution for the headline program (VERDICT r2
+        # item 4). Each phase is timed as its own jitted program with an honest
+        # device→host readback sync (see memory: block_until_ready can return
+        # at enqueue time through the tunnel); the residue rows are derived:
+        #   scan_gap = diffuse − steps·(unet_cfg_step + solver_step)
+        #   host_gap = end_to_end − diffuse − decode
+        def timed(fn, *fargs, runs=args.runs):
+            ts = []
+            float(jnp.sum(jax.tree.leaves(fn(*fargs))[0].astype(jnp.float32)))  # compile
+            for _ in range(runs):
+                t0 = time.perf_counter()
+                out = fn(*fargs)
+                float(jnp.sum(jax.tree.leaves(out)[0].astype(jnp.float32)))
+                ts.append(time.perf_counter() - t0)
+            ts.sort()
+            return ts[len(ts) // 2]
+
+        n_steps = sd.solver.num_inference_steps
+        step0 = jnp.asarray(0)
+        unet_step = jax.jit(
+            lambda m, v, e, p, t, s: m.predict_noise(
+                v, s, clip_text_embedding=e, pooled_text_embedding=p, time_ids=t, condition_scale=5.0
+            )
+        )
+        noise_like = jnp.zeros_like(x)
+        solver_step = jax.jit(lambda m, v, n, s: m.solver(v, predicted_noise=n, step=s))
+        t_unet = timed(unet_step, sd, x, emb, pooled, time_ids, step0)
+        t_solver = timed(solver_step, sd, x, noise_like, step0)
+        t_diffuse = timed(diffuse, sd, x, emb, pooled, time_ids)
+        t_decode = timed(decode, sd.lda, z)
+        print(
+            json.dumps(
+                {
+                    "breakdown_s": {
+                        "end_to_end": round(dt, 4),
+                        "diffuse_scan": round(t_diffuse, 4),
+                        "unet_cfg_step": round(t_unet, 4),
+                        "solver_step": round(t_solver, 5),
+                        "vae_decode": round(t_decode, 4),
+                        "scan_gap": round(t_diffuse - n_steps * (t_unet + t_solver), 4),
+                        "host_gap": round(dt - t_diffuse - t_decode, 4),
+                    },
+                    "num_steps": n_steps,
+                }
+            )
+        )
 
     value = batch / dt
     # north star (BASELINE.json): >= 1 img/s per v5e-8, i.e. 0.125 img/s/chip

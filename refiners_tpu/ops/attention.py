@@ -2,8 +2,10 @@
 
 Replaces the reference's torch-SDPA wrapper and its sliced-attention fallback
 (/root/reference/src/refiners/fluxion/layers/attentions.py:15-155). On TPU the
-flash kernel is blockwise by construction, so "sliced attention" exists only
-for API parity — flash already bounds memory at O(block²) instead of O(L²).
+flash kernel is blockwise by construction — it already bounds memory at
+O(block²) instead of O(L²); the XLA path additionally auto-slices its query
+dim above `_XLA_SLICE_BYTES` of logits, so even the no-flash (f32 parity)
+program is memory-bounded at deployment shapes.
 
 Layout: (batch, num_heads, seq, head_dim) for the 4-D entry points.
 """
@@ -75,6 +77,41 @@ def flash_capable(x: jax.Array) -> bool:
     return all(d.platform == "tpu" for d in devices)
 
 
+# Auto-slice the XLA path's query dim when the f32 logits buffer would exceed
+# this. The reference bounds the same buffer with user-set `slice_size`
+# (attentions.py:135-155); here it is automatic and row-exact — chunking only
+# partitions softmax rows (observed ≤1 ULP from XLA reassociating reductions
+# across shapes). Sized so SDXL-1024² f32 (2·10·4096² logits = 1.34 GB
+# per op) fits next to 10.6 GB of f32 weights on a 16 GB chip.
+_XLA_SLICE_BYTES = 256 * 1024 * 1024
+
+
+def _xla_attention_dense(
+    q: jax.Array,
+    k: jax.Array,
+    v: jax.Array,
+    mask: jax.Array | None,
+    causal_offset: jax.Array | None,
+    scale: float,
+) -> jax.Array:
+    """Unchunked attention; softmax statistics in float32 for bf16 stability.
+
+    `causal_offset`: global index of q's first row minus (Lk − Lq), or None
+    for non-causal — row i attends keys j <= i + offset."""
+    logits = jnp.einsum("...qd,...kd->...qk", q, k, preferred_element_type=jnp.float32) * scale
+    if causal_offset is not None:
+        ql, kl = logits.shape[-2], logits.shape[-1]
+        keep = jnp.arange(kl)[None, :] <= jnp.arange(ql)[:, None] + causal_offset
+        logits = jnp.where(keep, logits, -jnp.inf)
+    if mask is not None:
+        if mask.dtype == jnp.bool_:
+            logits = jnp.where(mask, logits, -jnp.inf)
+        else:
+            logits = logits + mask.astype(logits.dtype)
+    weights = jax.nn.softmax(logits, axis=-1).astype(q.dtype)
+    return jnp.einsum("...qk,...kd->...qd", weights, v, preferred_element_type=q.dtype)
+
+
 def _xla_attention(
     q: jax.Array,
     k: jax.Array,
@@ -83,21 +120,39 @@ def _xla_attention(
     is_causal: bool = False,
     scale: float | None = None,
 ) -> jax.Array:
-    """Plain attention; softmax statistics in float32 for bf16 stability."""
-    d = q.shape[-1]
-    scale = scale if scale is not None else 1.0 / math.sqrt(d)
-    logits = jnp.einsum("...qd,...kd->...qk", q, k, preferred_element_type=jnp.float32) * scale
-    if is_causal:
-        ql, kl = logits.shape[-2], logits.shape[-1]
-        causal = jnp.tril(jnp.ones((ql, kl), dtype=bool), k=kl - ql)
-        logits = jnp.where(causal, logits, -jnp.inf)
-    if mask is not None:
-        if mask.dtype == jnp.bool_:
-            logits = jnp.where(mask, logits, -jnp.inf)
+    """XLA attention, query-sliced when the logits buffer would be large."""
+    scale = scale if scale is not None else 1.0 / math.sqrt(q.shape[-1])
+    lq, lk = q.shape[-2], k.shape[-2]
+    batch = math.prod(q.shape[:-2])
+    logits_bytes = batch * lq * lk * 4
+    causal0 = jnp.asarray(lk - lq) if is_causal else None
+    if logits_bytes <= _XLA_SLICE_BYTES:
+        return _xla_attention_dense(q, k, v, mask, causal0, scale)
+
+    n_chunks = min(lq, -(-logits_bytes // _XLA_SLICE_BYTES))
+    while lq % n_chunks:  # need equal chunks for lax.map
+        n_chunks += 1
+    chunk = lq // n_chunks
+    qs = jnp.moveaxis(q.reshape(*q.shape[:-2], n_chunks, chunk, q.shape[-1]), -3, 0)
+    starts = jnp.arange(n_chunks) * chunk
+    # mask rows chunk along -2 only when the mask actually spans Lq
+    mask_chunked = mask is not None and mask.ndim >= 2 and mask.shape[-2] == lq
+    ms = None
+    if mask_chunked:
+        assert mask is not None
+        ms = jnp.moveaxis(mask.reshape(*mask.shape[:-2], n_chunks, chunk, mask.shape[-1]), -3, 0)
+
+    def one(args: tuple[jax.Array, ...]) -> jax.Array:
+        if mask_chunked:
+            qc, start, mc = args
         else:
-            logits = logits + mask.astype(logits.dtype)
-    weights = jax.nn.softmax(logits, axis=-1).astype(q.dtype)
-    return jnp.einsum("...qk,...kd->...qd", weights, v, preferred_element_type=q.dtype)
+            qc, start = args
+            mc = mask
+        offset = (start + (lk - lq)) if is_causal else None
+        return _xla_attention_dense(qc, k, v, mc, offset, scale)
+
+    outs = jax.lax.map(one, (qs, starts, ms) if mask_chunked else (qs, starts))
+    return jnp.moveaxis(outs, 0, -3).reshape(*q.shape)
 
 
 def dot_product_attention(

@@ -139,6 +139,43 @@ def test_causal_attention_matches_torch_sdpa() -> None:
     np.testing.assert_allclose(np.asarray(got), expected, atol=1e-5)
 
 
+def test_sliced_xla_attention_exact(monkeypatch) -> None:
+    """Auto query-slicing of the XLA path (the reference's sliced attention,
+    attentions.py:135-155, made automatic) partitions softmax rows without
+    touching their math — equal to the dense program up to XLA reassociating
+    reductions across differently-shaped einsums (observed max 1 ULP)."""
+    import jax
+
+    import refiners_tpu.ops.attention as attn_mod
+    from refiners_tpu.ops.attention import _xla_attention, _xla_attention_dense
+
+    key = jax.random.key(5)
+    kq, kk, kv = jax.random.split(key, 3)
+    cases = [
+        dict(lq=96, lk=96, is_causal=False, mask=None),
+        dict(lq=96, lk=96, is_causal=True, mask=None),
+        dict(lq=60, lk=96, is_causal=True, mask=None),  # uneven chunks + offset
+        dict(lq=96, lk=96, is_causal=False, mask="bool_lq"),
+        dict(lq=96, lk=96, is_causal=False, mask="bias_broadcast"),
+    ]
+    for case in cases:
+        lq, lk = case["lq"], case["lk"]
+        q = jax.random.normal(kq, (2, 3, lq, 8))
+        k = jax.random.normal(kk, (2, 3, lk, 8))
+        v = jax.random.normal(kv, (2, 3, lk, 8))
+        mask = None
+        if case["mask"] == "bool_lq":
+            mask = jax.random.bernoulli(kq, 0.8, (2, 1, lq, lk))
+        elif case["mask"] == "bias_broadcast":
+            mask = jax.random.normal(kv, (1, 1, 1, lk))
+        offset = jnp.asarray(lk - lq) if case["is_causal"] else None
+        dense = _xla_attention_dense(q, k, v, mask, offset, 8**-0.5)
+        monkeypatch.setattr(attn_mod, "_XLA_SLICE_BYTES", 2 * 3 * 16 * lk * 4)  # force ~6 chunks
+        sliced = _xla_attention(q, k, v, mask=mask, is_causal=case["is_causal"])
+        monkeypatch.undo()
+        np.testing.assert_allclose(np.asarray(sliced), np.asarray(dense), atol=1e-6, err_msg=str(case))
+
+
 def test_flash_attention_matches_xla() -> None:
     import jax
 

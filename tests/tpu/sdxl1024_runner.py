@@ -1,0 +1,107 @@
+"""One SDXL-1024² on-chip program in a fresh process (driven by
+test_bf16_tpu.py::test_sdxl_1024_bf16_flash_on_chip).
+
+    python tests/tpu/sdxl1024_runner.py {bf16|f32} out.npy
+
+Why a subprocess per program: the two programs (bf16+flash vs f32+XLA) each
+fit the 16 GB chip alone (f32 weights 9.9 GB + bounded activations — the XLA
+path auto-slices its attention logits), but running them sequentially in one
+process OOMed even after dropping every Python reference to the first
+program's buffers — through the axon tunnel, freeing is not reliably
+synchronous with host-side GC. A process boundary is the only hard
+deallocation barrier.
+
+Weights are synthetic but IDENTICAL between the two runs: materialized on
+device by the same seeded program, drawn in f32 and cast to the model dtype.
+"""
+
+from __future__ import annotations
+
+import sys
+from pathlib import Path
+
+import numpy as np
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[2]))  # repo root
+
+STEPS = 4
+
+
+def main(mode: str, out_path: str) -> None:
+    import jax
+    import jax.numpy as jnp
+
+    import refiners_tpu.fluxion.layers as fl
+    from refiners_tpu.fluxion import manual_seed
+    from refiners_tpu.foundationals.latent_diffusion import DDIM, SDXLAutoencoder, SDXLUNet, StableDiffusion_XL
+    from refiners_tpu.ops.attention import force_flash
+
+    dtype = jnp.bfloat16 if mode == "bf16" else jnp.float32
+    use_flash = mode == "bf16"
+    manual_seed(0)
+    dev = jax.devices()[0]
+
+    # build on the host (eager ops through the tunnel pay a full RTT each),
+    # then materialize the weights directly on device from a fixed seed
+    with jax.default_device(jax.devices("cpu")[0]):
+        sd = StableDiffusion_XL(
+            unet=SDXLUNet(in_channels=4, dtype=dtype),
+            lda=SDXLAutoencoder(dtype=dtype),
+            clip_text_encoder=fl.Chain(fl.Identity()),  # type: ignore[arg-type]
+            solver=DDIM(num_inference_steps=STEPS),
+        )
+    sd.solver = jax.device_put(sd.solver, dev)
+    for module in (sd.unet, sd.lda):
+        # ≥2-D float leaves (the multi-GB matmul/conv weights) are materialized
+        # directly on device from a fixed seed, f32-drawn then cast so both
+        # modes see identical values. 1-D leaves (biases, and crucially the
+        # norm SCALES, whose proper init is ONE — zeroing them silences every
+        # activation and made the first version of this gate compare two
+        # all-zero images) keep their host init and transfer for real: they
+        # total a few MB.
+        entries = list(module.arrays())
+        big = [(p, a) for p, a in entries if jnp.issubdtype(a.dtype, jnp.floating) and a.ndim >= 2]
+        small = [(p, a) for p, a in entries if not (jnp.issubdtype(a.dtype, jnp.floating) and a.ndim >= 2)]
+        shapes = [(a.shape, a.dtype) for _, a in big]
+
+        def materialize(key: jax.Array) -> list[jax.Array]:
+            keys = jax.random.split(key, len(shapes))
+            out = []
+            for k, (shape, dt) in zip(keys, shapes):
+                fan_in = int(np.prod(shape[:-1]))
+                out.append(jax.random.normal(k, shape, jnp.float32).astype(dt) * (fan_in**-0.5))
+            return out
+
+        placed = jax.jit(materialize, out_shardings=[jax.sharding.SingleDeviceSharding(dev)] * len(shapes))(
+            jax.random.key(7)
+        )
+        for (path, _), arr in zip(big, placed):
+            module._set_array_by_path(path, arr)
+        small_placed = jax.device_put([a for _, a in small], dev)  # one bulk transfer
+        for (path, _), arr in zip(small, small_placed):
+            module._set_array_by_path(path, arr)
+
+    emb = jnp.zeros((2, 77, 2048), dtype)
+    pooled = jnp.zeros((2, 1280), dtype)
+    x = jnp.asarray(np.random.RandomState(3).randn(1, 128, 128, 4), dtype)
+    tid = jnp.tile(sd.default_time_ids, (1, 1))
+
+    diffuse = jax.jit(
+        lambda m, v, e, p, t: m.diffuse(
+            v, clip_text_embedding=e, pooled_text_embedding=p, time_ids=t, condition_scale=5.0
+        )
+    )
+    with force_flash(use_flash):
+        z = diffuse(sd, x, emb, pooled, tid)
+        assert np.isfinite(float(jnp.sum(z.astype(jnp.float32)))), "non-finite latents"  # sync
+        sd.unet = None  # give decode the UNet's 9.6 GB back before it compiles
+        image = jax.jit(lambda lda, zz: lda.decode(zz))(sd.lda, z)
+    out = np.asarray(image.astype(jnp.float32))
+    assert np.isfinite(out).all(), "non-finite decoded image"
+    assert float(np.std(out)) > 1e-4, "decoded image is constant — the gate would be vacuous"
+    np.save(out_path, out)
+    print(f"{mode}: wrote {out.shape} to {out_path}")
+
+
+if __name__ == "__main__":
+    main(sys.argv[1], sys.argv[2])

