@@ -38,6 +38,12 @@ def main() -> None:
         action="store_true",
         help="also print a per-phase profile (unet step / solver / decode / scan+host gap) as a second JSON line",
     )
+    parser.add_argument(
+        "--profile",
+        metavar="DIR",
+        default=None,
+        help="capture a jax.profiler device trace of one timed run into DIR (parse with tools/parse_profile.py)",
+    )
     args = parser.parse_args()
 
     import os
@@ -138,6 +144,13 @@ def main() -> None:
     # shared host core also feeds the TPU tunnel, so a busy box produces
     # outlier runs that say nothing about the chip
     x = x0
+    if args.profile:
+        # one traced run of the exact timed programs (post-warmup, so the
+        # trace holds steady-state device execution, not compilation)
+        with jax.profiler.trace(args.profile):
+            z = diffuse(sd, x, emb, pooled, time_ids)
+            img = decode(sd.lda, z)
+            float(jnp.sum(img.astype(jnp.float32)))
     times: list[float] = []
     for _ in range(args.runs):
         t0 = time.perf_counter()

@@ -106,12 +106,17 @@ def _flash_kernel(
         l_ref[...] = jnp.zeros_like(l_ref)
         acc_ref[...] = jnp.zeros_like(acc_ref)
 
-    q = q_ref[0].astype(jnp.float32) * scale  # (block_q, d)
-    k = k_ref[0].astype(jnp.float32)  # (block_k, d)
-    v = v_ref[0].astype(jnp.float32)
-    s = jax.lax.dot_general(
-        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-    )  # (block_q, block_k)
+    # operands keep their storage dtype: a bf16×bf16→f32 MXU pass runs at
+    # full rate, while casting to f32 first would quarter matmul throughput
+    # (f32 matmuls are multi-pass on the MXU). The scale is applied to the
+    # f32 scores, not the inputs, so bf16 q loses no mantissa to it.
+    q = q_ref[0]  # (block_q, d)
+    k = k_ref[0]  # (block_k, d)
+    v = v_ref[0]
+    s = (
+        jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32)
+        * scale
+    )  # (block_q, block_k) f32
     if bias_ref is not None:
         s = s + bias_ref[0].astype(jnp.float32)
 
@@ -129,8 +134,10 @@ def _flash_kernel(
     p = jnp.exp(s - m_new)
     alpha = jnp.exp(m_prev - m_new)
     l_new = alpha * l_prev + jnp.sum(p, axis=-1, keepdims=True)
+    # p is cast to the value dtype for the PV matmul (the standard TPU flash
+    # recipe): the accumulator stays f32, only the probabilities round
     acc_ref[...] = acc_ref[...] * alpha + jax.lax.dot_general(
-        p, v, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        p.astype(v.dtype), v, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
     )
     m_ref[...] = jnp.broadcast_to(m_new, m_ref.shape)
     l_ref[...] = jnp.broadcast_to(l_new, l_ref.shape)
@@ -246,11 +253,17 @@ def _recompute_p_ds(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, *, scale, b
     Rows beyond q_len and columns beyond kv_len are forced to zero so padded
     regions contribute nothing to the accumulated gradients.
     """
-    q = q_ref[0].astype(jnp.float32) * scale
-    k = k_ref[0].astype(jnp.float32)
-    v = v_ref[0].astype(jnp.float32)
-    do = do_ref[0].astype(jnp.float32)
-    s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32)
+    # native-dtype MXU passes with f32 accumulation (see the forward kernel);
+    # the scale multiplies the f32 scores, and the (dsᵀ·q / ds·k) gradient
+    # dots fold it back in at their finish step instead of pre-scaling q
+    q = q_ref[0]
+    k = k_ref[0]
+    v = v_ref[0]
+    do = do_ref[0]
+    s = (
+        jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32)
+        * scale
+    )
 
     col = k_blk * block_k + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
     row = q_blk * block_q + jax.lax.broadcasted_iota(jnp.int32, s.shape, 0)
@@ -283,13 +296,18 @@ def _flash_bwd_dkv_kernel(
         scale=scale, block_q=block_q, block_k=block_k, q_blk=q_blk, k_blk=k_blk,
         q_len=q_len, kv_len=kv_len, is_causal=is_causal,
     )
-    # dv += pᵀ do ; dk += dsᵀ (q·scale)  (q is pre-scaled, matching s)
-    dv_acc[...] += jax.lax.dot_general(p, do, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32)
-    dk_acc[...] += jax.lax.dot_general(ds, q, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32)
+    # dv += pᵀ do ; dk += scale·dsᵀ q — p/ds round to the operand dtype for
+    # full-rate MXU passes, accumulation stays f32, scale folds in at finish
+    dv_acc[...] += jax.lax.dot_general(
+        p.astype(do.dtype), do, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    )
+    dk_acc[...] += jax.lax.dot_general(
+        ds.astype(q.dtype), q, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    )
 
     @pl.when(q_blk == num_q_blocks - 1)
     def _finish():
-        dk_ref[0] = dk_acc[...].astype(dk_ref.dtype)
+        dk_ref[0] = (dk_acc[...] * scale).astype(dk_ref.dtype)
         dv_ref[0] = dv_acc[...].astype(dv_ref.dtype)
 
 
@@ -309,7 +327,9 @@ def _flash_bwd_dq_kernel(
         scale=scale, block_q=block_q, block_k=block_k, q_blk=q_blk, k_blk=k_blk,
         q_len=q_len, kv_len=kv_len, is_causal=is_causal,
     )
-    dq_acc[...] += jax.lax.dot_general(ds, k, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32)
+    dq_acc[...] += jax.lax.dot_general(
+        ds.astype(k.dtype), k, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    )
 
     @pl.when(k_blk == num_k_blocks - 1)
     def _finish():
