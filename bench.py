@@ -28,7 +28,7 @@ def main() -> None:
     parser.add_argument(
         "--int8",
         action="store_true",
-        help="quantize UNet attention/FF linears to int8 (A/B the serving quant path)",
+        help="W8A8-quantize UNet attention/FF linears (int8 MXU dots; A/B the serving quant path)",
     )
     # median over 5: a single depressed run (host core still draining prior
     # work, tunnel hiccup) must not set the headline number

@@ -86,3 +86,36 @@ def test_quantized_linear_under_jit() -> None:
     eager = model(x)
     jitted = jax.jit(lambda m, v: m(v))(model, x)
     np.testing.assert_allclose(np.asarray(eager), np.asarray(jitted), atol=1e-5)
+
+
+def test_w8a8_int8_dot_close_to_float() -> None:
+    """The serving path: per-token activation quantization + int8×int8→int32
+    dot. Error budget is ~2× the weight-only path (two rounding sources)."""
+    lin = fl.Linear(256, 512)
+    qlin = QuantizedLinear(lin, act_quant=True)
+    x = jax.random.normal(jax.random.key(2), (4, 256))
+    rel = float(jnp.linalg.norm(qlin(x) - lin(x)) / jnp.linalg.norm(lin(x)))
+    assert rel < 0.02, f"relative error {rel:.4f}"
+
+
+def test_w8a16_skips_activation_rounding() -> None:
+    """act_quant=False must reproduce the weight-only numerics: for an input
+    that is exactly representable, W8A16 is exact while W8A8 rounds."""
+    lin = fl.Linear(256, 512)
+    q16 = QuantizedLinear(lin, act_quant=False)
+    q8 = QuantizedLinear(lin, act_quant=True)
+    x = jax.random.normal(jax.random.key(3), (4, 256))
+    y16, y8 = q16(x), q8(x)
+    deq = q16.weight.astype(jnp.float32) * q16.scales
+    expect = x @ deq + lin.bias
+    np.testing.assert_allclose(np.asarray(y16), np.asarray(expect), atol=1e-4)
+    assert float(jnp.linalg.norm(y8 - y16)) > 0.0  # the A8 rounding is real
+
+
+def test_w8a8_under_jit_matches_eager() -> None:
+    model = fl.Chain(fl.Linear(256, 256))
+    quantize_linears(model, act_quant=True)
+    x = jax.random.normal(jax.random.key(4), (2, 256))
+    eager = model(x)
+    jitted = jax.jit(lambda m, v: m(v))(model, x)
+    np.testing.assert_allclose(np.asarray(eager), np.asarray(jitted), atol=1e-5)
