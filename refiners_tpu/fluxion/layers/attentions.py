@@ -22,6 +22,7 @@ from refiners_tpu.fluxion.layers.linear import Linear
 from refiners_tpu.fluxion.layers.module import Module
 from refiners_tpu.ops.attention import (
     dot_product_attention,
+    flash_auto,
     merge_heads,
     scaled_dot_product_attention,
     split_heads,
@@ -53,13 +54,26 @@ class ScaledDotProductAttention(Module):
         self.slice_size = slice_size
 
     def forward(self, query: jax.Array, key: jax.Array, value: jax.Array) -> jax.Array:
-        q = split_heads(query, self.num_heads)
-        k = split_heads(key, self.num_heads)
-        v = split_heads(value, self.num_heads)
         use_flash = True if self.slice_size is not None else None
         if not self.is_optimized:
             use_flash = False
-        out = dot_product_attention(q, k, v, is_causal=self.is_causal, use_flash=use_flash)
+        if use_flash is None:
+            use_flash = flash_auto(query, query.shape[1], key.shape[1])
+        if use_flash:
+            # packed entry: the kernel's index maps slice heads out of the
+            # (B, L, H·D) projection layout directly — no split/merge-heads
+            # transposes, and megatron TP's feature sharding flows through
+            from refiners_tpu.ops.flash_attention import flash_attention_packed
+
+            return flash_attention_packed(
+                query, key, value,
+                is_causal=self.is_causal,
+                head_dim=query.shape[-1] // self.num_heads,
+            )
+        q = split_heads(query, self.num_heads)
+        k = split_heads(key, self.num_heads)
+        v = split_heads(value, self.num_heads)
+        out = dot_product_attention(q, k, v, is_causal=self.is_causal, use_flash=False)
         return merge_heads(out)
 
 

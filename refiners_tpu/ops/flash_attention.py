@@ -14,8 +14,10 @@ Design (see /opt/skills/guides/pallas_guide.md):
   ever materialized, softmax intermediates stay O(block²).
 - QK^T and PV ride the MXU with f32 accumulation (`preferred_element_type`);
   inputs stay bf16 end-to-end.
-- head_dim is zero-padded to a lane multiple (128) in the wrapper: zero tail
-  columns change neither QK^T nor the valid slice of PV.
+- head_dim stays compact in HBM (Mosaic pads VMEM tiles internally for
+  sub-lane-width minor dims); `_PAD_HEAD_DIM` can re-enable explicit
+  zero-padding to 128 lanes — zero tail columns change neither QK^T nor the
+  valid slice of PV — as an escape hatch.
 - Sequence tails are masked with -inf via static block masks (shapes are
   static under jit, so masks specialize at trace time).
 
@@ -51,6 +53,13 @@ _BLOCK_K_BIAS = 1024
 # backward blocks: two operands accumulate in f32 scratch, stay conservative
 _BLOCK_Q_BWD = 512
 _BLOCK_K_BWD = 512
+# Whether to zero-pad head_dim up to the 128 lane width in HBM before the
+# kernel. Mosaic handles sub-lane-width minor dims natively (it pads VMEM
+# tiles internally, HBM stays compact), so explicit padding only adds full
+# HBM round-trips of q/k/v (+ an output slice copy) per call. Kept as a
+# switch for A/B and as an escape hatch for toolchains where a narrow minor
+# dim fails to lower.
+_PAD_HEAD_DIM = False
 
 
 def _round_up(x: int, m: int) -> int:
@@ -84,6 +93,7 @@ def _flash_kernel(
     num_k_blocks: int,
     is_causal: bool,
     has_bias: bool,
+    with_lse: bool,
 ):
     """One (head, q-block, k-block) program step.
 
@@ -91,12 +101,27 @@ def _flash_kernel(
     statistics live in VMEM scratch and carry across k steps; K/V blocks
     stream from HBM one (block_k, d) tile at a time — VMEM stays
     O(block_q·d + block_k·d) regardless of sequence length.
+
+    `with_lse` gates the logsumexp residual output: only the VJP's forward
+    needs it, and the (block_q, LANE) f32 broadcast is ~1 GB/step of pure
+    HBM writes at SDXL-1024² shapes — the inference primal skips it (a
+    pallas_call output can't be DCE'd by XLA, so this must be a kernel
+    variant, not an unused result).
     """
+    refs = list(refs)
+    q_ref, k_ref, v_ref = refs[:3]
+    pos = 3
+    bias_ref = None
     if has_bias:
-        q_ref, k_ref, v_ref, bias_ref, o_ref, lse_ref, m_ref, l_ref, acc_ref = refs
-    else:
-        q_ref, k_ref, v_ref, o_ref, lse_ref, m_ref, l_ref, acc_ref = refs
-        bias_ref = None
+        bias_ref = refs[pos]
+        pos += 1
+    o_ref = refs[pos]
+    pos += 1
+    lse_ref = None
+    if with_lse:
+        lse_ref = refs[pos]
+        pos += 1
+    m_ref, l_ref, acc_ref = refs[pos:]
     q_blk = pl.program_id(1)
     k_blk = pl.program_id(2)
 
@@ -146,9 +171,10 @@ def _flash_kernel(
     def _finish():
         l_final = l_ref[...][:, :1]
         o_ref[0] = (acc_ref[...] / l_final).astype(o_ref.dtype)
-        # logsumexp residual for the fused backward (f32); rows fully masked
-        # (sequence padding) have l=0 → lse=-inf, and are sliced away
-        lse_ref[0] = (m_ref[...] + jnp.log(l_ref[...])).astype(jnp.float32)
+        if lse_ref is not None:
+            # logsumexp residual for the fused backward (f32); rows fully
+            # masked (sequence padding) have l=0 → lse=-inf, sliced away
+            lse_ref[0] = (m_ref[...] + jnp.log(l_ref[...])).astype(jnp.float32)
 
 
 def _flash_forward(
@@ -158,8 +184,11 @@ def _flash_forward(
     bias: jax.Array | None,
     is_causal: bool,
     scale: float | None,
-) -> tuple[jax.Array, jax.Array]:
-    """Returns (out (B,H,Lq,D), lse (B,H,Lq_pad,LANE) f32).
+    with_lse: bool = True,
+) -> tuple[jax.Array, jax.Array] | tuple[jax.Array]:
+    """Returns (out (B,H,Lq,D), lse (B,H,Lq_pad,LANE) f32), or (out,) when
+    `with_lse` is False (the inference primal — skips the residual's HBM
+    writes entirely).
 
     `bias`, when present, must already be materialized at (B, H, Lq, Lk) —
     the public entry broadcasts it so the partitioned op sees a full operand.
@@ -171,7 +200,7 @@ def _flash_forward(
     max_block_k = _BLOCK_K_BIAS if bias is not None else _BLOCK_K
     block_q = min(_BLOCK_Q, _round_up(lq, _LANE))
     block_k = min(max_block_k, _round_up(lk, _LANE))
-    d_pad = _round_up(d, _LANE)
+    d_pad = _round_up(d, _LANE) if _PAD_HEAD_DIM else d
     lq_pad = _round_up(lq, block_q)
     lk_pad = _round_up(lk, block_k)
 
@@ -196,6 +225,7 @@ def _flash_forward(
         num_k_blocks=num_k_blocks,
         is_causal=is_causal,
         has_bias=bias is not None,
+        with_lse=with_lse,
     )
     in_specs = [
         pl.BlockSpec((1, block_q, d_pad), lambda i, j, n: (i, j, 0), memory_space=pltpu.VMEM),
@@ -212,18 +242,20 @@ def _flash_forward(
             pl.BlockSpec((1, block_q, block_k), lambda i, j, n: (i, j, n), memory_space=pltpu.VMEM)
         )
 
-    out, lse = pl.pallas_call(
+    out_specs = [pl.BlockSpec((1, block_q, d_pad), lambda i, j, n: (i, j, 0), memory_space=pltpu.VMEM)]
+    out_shape = [jax.ShapeDtypeStruct((b * h, lq_pad, d_pad), q.dtype)]
+    if with_lse:
+        out_specs.append(
+            pl.BlockSpec((1, block_q, _LANE), lambda i, j, n: (i, j, 0), memory_space=pltpu.VMEM)
+        )
+        out_shape.append(jax.ShapeDtypeStruct((b * h, lq_pad, _LANE), jnp.float32))
+
+    results = pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=in_specs,
-        out_specs=(
-            pl.BlockSpec((1, block_q, d_pad), lambda i, j, n: (i, j, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, block_q, _LANE), lambda i, j, n: (i, j, 0), memory_space=pltpu.VMEM),
-        ),
-        out_shape=(
-            jax.ShapeDtypeStruct((b * h, lq_pad, d_pad), q.dtype),
-            jax.ShapeDtypeStruct((b * h, lq_pad, _LANE), jnp.float32),
-        ),
+        out_specs=tuple(out_specs),
+        out_shape=tuple(out_shape),
         scratch_shapes=[
             pltpu.VMEM((block_q, _LANE), jnp.float32),  # running max
             pltpu.VMEM((block_q, _LANE), jnp.float32),  # running sum
@@ -239,7 +271,10 @@ def _flash_forward(
         ),
         interpret=_interpret(),
     )(*operands)
-    return out[:, :lq, :d].reshape(b, h, lq, d), lse.reshape(b, h, lq_pad, _LANE)
+    out = results[0][:, :lq, :d].reshape(b, h, lq, d)
+    if not with_lse:
+        return (out,)
+    return out, results[1].reshape(b, h, lq_pad, _LANE)
 
 
 # ---------------------------------------------------------------------------
@@ -346,7 +381,7 @@ def _flash_backward(
 
     block_q = min(_BLOCK_Q_BWD, _round_up(lq, _LANE))
     block_k = min(_BLOCK_K_BWD, _round_up(lk, _LANE))
-    d_pad = _round_up(d, _LANE)
+    d_pad = _round_up(d, _LANE) if _PAD_HEAD_DIM else d
     lq_pad = _round_up(lq, block_q)
     lk_pad = _round_up(lk, block_k)
 
@@ -442,6 +477,231 @@ def _flash_backward(
 
 
 # ---------------------------------------------------------------------------
+# packed layout: (B, L, H·D) operands, heads sliced by BlockSpec index maps
+# ---------------------------------------------------------------------------
+#
+# The multi-head layers produce q/k/v as (B, L, H·D) — the raw output of the
+# QKV projections. The 4-D entry needs a (B, L, H·D) → (B, H, L, D)
+# split-heads transpose per operand and a merge-heads transpose on the
+# output: ~8% of SDXL's device time is such boundary data formatting. The
+# packed entry instead keeps the operands in projection layout and lets the
+# BlockSpec index maps slice head h's D-column window directly out of HBM
+# (block index `i % h` along the feature dim) — the kernels are unchanged,
+# only the maps differ, and no transpose is ever materialized. Under a
+# ("data", "tensor") mesh the packed operands carry the QKV projections'
+# natural output sharding P(data, None, tensor), so megatron TP flows into
+# the kernel with zero resharding (whole heads per device as long as
+# `tensor` divides H).
+
+
+def _flash_kernel_packed(
+    *refs,
+    scale: float,
+    block_k: int,
+    kv_len: int,
+    q_len: int,
+    block_q: int,
+    num_k_blocks: int,
+    is_causal: bool,
+    with_lse: bool,
+    d: int,
+    n_sub: int,
+):
+    """Packed-layout program step: `n_sub` heads per program, side by side in
+    the lane dimension (Mosaic requires 128-divisible block widths, so a
+    single d=64 head can't be a block — a PAIR can). The static Python loop
+    over sub-heads reuses the streamed K/V block for every head in it,
+    dividing K/V HBM traffic by `n_sub` relative to one-head-per-program."""
+    if with_lse:
+        q_ref, k_ref, v_ref, o_ref, lse_ref, m_ref, l_ref, acc_ref = refs
+    else:
+        q_ref, k_ref, v_ref, o_ref, m_ref, l_ref, acc_ref = refs
+        lse_ref = None
+    q_blk = pl.program_id(1)
+    k_blk = pl.program_id(2)
+
+    @pl.when(k_blk == 0)
+    def _init():
+        m_ref[...] = jnp.full_like(m_ref, _NEG_INF)
+        l_ref[...] = jnp.zeros_like(l_ref)
+        acc_ref[...] = jnp.zeros_like(acc_ref)
+
+    # sequence masks are shared across the sub-heads
+    shape = (block_q, block_k)
+    col = k_blk * block_k + jax.lax.broadcasted_iota(jnp.int32, shape, 1)
+    mask = col < kv_len
+    if is_causal:
+        row = q_blk * block_q + jax.lax.broadcasted_iota(jnp.int32, shape, 0)
+        mask = jnp.logical_and(mask, col <= row + (kv_len - q_len))
+
+    for t in range(n_sub):
+        q = q_ref[0][:, t * d : (t + 1) * d]
+        k = k_ref[0][:, t * d : (t + 1) * d]
+        v = v_ref[0][:, t * d : (t + 1) * d]
+        s = (
+            jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32)
+            * scale
+        )
+        s = jnp.where(mask, s, _NEG_INF)
+
+        m_prev = m_ref[:, t * _LANE : t * _LANE + 1]
+        l_prev = l_ref[:, t * _LANE : t * _LANE + 1]
+        m_cur = jnp.max(s, axis=-1, keepdims=True)
+        m_new = jnp.maximum(m_prev, m_cur)
+        p = jnp.exp(s - m_new)
+        alpha = jnp.exp(m_prev - m_new)
+        l_new = alpha * l_prev + jnp.sum(p, axis=-1, keepdims=True)
+        acc_ref[:, t * d : (t + 1) * d] = acc_ref[:, t * d : (t + 1) * d] * alpha + jax.lax.dot_general(
+            p.astype(v.dtype), v, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        m_ref[:, t * _LANE : (t + 1) * _LANE] = jnp.broadcast_to(m_new, (block_q, _LANE))
+        l_ref[:, t * _LANE : (t + 1) * _LANE] = jnp.broadcast_to(l_new, (block_q, _LANE))
+
+    @pl.when(k_blk == num_k_blocks - 1)
+    def _finish():
+        for t in range(n_sub):
+            l_final = l_ref[:, t * _LANE : t * _LANE + 1]
+            o_ref[0, :, t * d : (t + 1) * d] = (acc_ref[:, t * d : (t + 1) * d] / l_final).astype(o_ref.dtype)
+            if lse_ref is not None:
+                lse_ref[t] = (
+                    m_ref[:, t * _LANE : (t + 1) * _LANE]
+                    + jnp.log(l_ref[:, t * _LANE : (t + 1) * _LANE])
+                ).astype(jnp.float32)
+
+
+def _packed_n_sub(d: int) -> int:
+    """Sub-heads per program: smallest n with n·d a lane-width multiple."""
+    return _LANE // math.gcd(d, _LANE)
+
+
+def _flash_forward_packed(
+    q: jax.Array,
+    k: jax.Array,
+    v: jax.Array,
+    is_causal: bool,
+    scale: float | None,
+    head_dim: int,
+    with_lse: bool = True,
+) -> tuple[jax.Array, ...]:
+    """Flash forward over (B, Lq, H·D)/(B, Lk, H·D); returns (out[, lse]).
+
+    Falls back to the flat (split-heads) forward when the sub-head grouping
+    doesn't divide the local head count (e.g. odd per-device heads under TP)."""
+    b, lq, hd = q.shape
+    assert hd % head_dim == 0, (hd, head_dim)
+    h = hd // head_dim
+    d = head_dim
+    lk = k.shape[1]
+    n_sub = _packed_n_sub(d)
+    if h % n_sub:
+        def split(x):
+            bb, ll, _ = x.shape
+            return x.reshape(bb, ll, h, d).transpose(0, 2, 1, 3)
+
+        res = _flash_forward(split(q), split(k), split(v), None, is_causal, scale, with_lse=with_lse)
+        out = res[0].transpose(0, 2, 1, 3).reshape(b, lq, hd)
+        if not with_lse:
+            return (out,)
+        lse = res[1]
+        return out, lse.reshape(b * h, lse.shape[2], _LANE)
+
+    scale = scale if scale is not None else 1.0 / math.sqrt(d)
+    block_q = min(_BLOCK_Q, _round_up(lq, _LANE))
+    block_k = min(_BLOCK_K, _round_up(lk, _LANE))
+    lq_pad = _round_up(lq, block_q)
+    lk_pad = _round_up(lk, block_k)
+    if lq_pad != lq:
+        q = jnp.pad(q, ((0, 0), (0, lq_pad - lq), (0, 0)))
+    if lk_pad != lk:
+        k = jnp.pad(k, ((0, 0), (0, lk_pad - lk), (0, 0)))
+        v = jnp.pad(v, ((0, 0), (0, lk_pad - lk), (0, 0)))
+
+    hb = h // n_sub  # head-group blocks per batch row
+    w = n_sub * d  # lane width of one head-group block (a _LANE multiple)
+    num_k_blocks = lk_pad // block_k
+    grid = (b * hb, lq_pad // block_q, num_k_blocks)
+    kernel = functools.partial(
+        _flash_kernel_packed,
+        scale=scale,
+        block_k=block_k,
+        kv_len=lk,
+        q_len=lq,
+        block_q=block_q,
+        num_k_blocks=num_k_blocks,
+        is_causal=is_causal,
+        with_lse=with_lse,
+        d=d,
+        n_sub=n_sub,
+    )
+    # block index (i % hb) along the feature dim selects the head group's
+    # lane window; (i // hb) the batch row — a strided DMA, no transpose
+    q_spec = pl.BlockSpec((1, block_q, w), lambda i, j, n, hb=hb: (i // hb, j, i % hb), memory_space=pltpu.VMEM)
+    kv_spec = pl.BlockSpec((1, block_k, w), lambda i, j, n, hb=hb: (i // hb, n, i % hb), memory_space=pltpu.VMEM)
+    out_specs = [pl.BlockSpec((1, block_q, w), lambda i, j, n, hb=hb: (i // hb, j, i % hb), memory_space=pltpu.VMEM)]
+    out_shape = [jax.ShapeDtypeStruct((b, lq_pad, hd), q.dtype)]
+    if with_lse:
+        # program i covers global head rows [i·n_sub, (i+1)·n_sub): dim-0
+        # block of size n_sub at block index i
+        out_specs.append(
+            pl.BlockSpec((n_sub, block_q, _LANE), lambda i, j, n: (i, j, 0), memory_space=pltpu.VMEM)
+        )
+        out_shape.append(jax.ShapeDtypeStruct((b * h, lq_pad, _LANE), jnp.float32))
+
+    results = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[q_spec, kv_spec, kv_spec],
+        out_specs=tuple(out_specs),
+        out_shape=tuple(out_shape),
+        scratch_shapes=[
+            pltpu.VMEM((block_q, n_sub * _LANE), jnp.float32),  # running max, per sub-head
+            pltpu.VMEM((block_q, n_sub * _LANE), jnp.float32),  # running sum, per sub-head
+            pltpu.VMEM((block_q, w), jnp.float32),  # output accumulator
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * b * h * lq * lk * d,
+            bytes_accessed=(q.size + k.size + v.size) * q.dtype.itemsize,
+            transcendentals=b * h * lq * lk,
+        ),
+        interpret=_interpret(),
+    )(q, k, v)
+    out = results[0][:, :lq]
+    if not with_lse:
+        return (out,)
+    return out, results[1]
+
+
+def _flash_backward_packed(
+    q: jax.Array, k: jax.Array, v: jax.Array, o: jax.Array, lse: jax.Array, g: jax.Array,
+    is_causal: bool, scale: float | None, head_dim: int,
+) -> tuple[jax.Array, jax.Array, jax.Array]:
+    """Packed-layout backward: split to the flat (B, H, L, D) view and reuse
+    the flat FA-2 kernels. The split/merge transposes this reintroduces cost
+    only on the TRAINING path — the packed layout's win is the inference
+    primal, which never runs this."""
+    b, lq, hd = q.shape
+    h = hd // head_dim
+    lk = k.shape[1]
+
+    def split(x: jax.Array, length: int) -> jax.Array:
+        return x.reshape(b, length, h, head_dim).transpose(0, 2, 1, 3)
+
+    lse4 = lse.reshape(b, h, lse.shape[1], _LANE)
+    dq, dk, dv = _flash_backward(
+        split(q, lq), split(k, lk), split(v, lk), split(o, lq), lse4, split(g, lq),
+        is_causal, scale,
+    )
+
+    def merge(x: jax.Array, length: int) -> jax.Array:
+        return x.transpose(0, 2, 1, 3).reshape(b, length, hd)
+
+    return merge(dq, lq), merge(dk, lk), merge(dv, lk)
+
+
+# ---------------------------------------------------------------------------
 # mesh partitioning (GSPMD / Shardy) for the kernel calls
 # ---------------------------------------------------------------------------
 #
@@ -465,31 +725,151 @@ def _bh_axes(arg_shapes) -> tuple:
 
 
 @functools.lru_cache(maxsize=None)
-def _partitioned_forward(is_causal: bool, scale: float | None, has_bias: bool):
-    """(q, k, v[, bias]) → (out, lse), partitionable over batch/heads."""
+def _partitioned_forward(is_causal: bool, scale: float | None, has_bias: bool, with_lse: bool = True):
+    """(q, k, v[, bias]) → (out, lse) — or (out,) without lse — partitionable
+    over batch/heads."""
 
     def impl(*args):
         q, k, v = args[:3]
         bias = args[3] if has_bias else None
-        return _flash_forward(q, k, v, bias, is_causal, scale)
+        return _flash_forward(q, k, v, bias, is_causal, scale, with_lse=with_lse)
 
     op = custom_partitioning(impl)
+    n_out = 2 if with_lse else 1
 
     def infer(mesh, arg_shapes, result_shape):
         b, h = _bh_axes(arg_shapes)
         s = NamedSharding(mesh, P(b, h, None, None))
-        return (s, s)
+        return tuple(s for _ in range(n_out))
 
     def partition(mesh, arg_shapes, result_shape):
         b, h = _bh_axes(arg_shapes)
         s = NamedSharding(mesh, P(b, h, None, None))
-        return mesh, impl, (s, s), tuple(s for _ in arg_shapes)
+        return mesh, impl, tuple(s for _ in range(n_out)), tuple(s for _ in arg_shapes)
 
-    rule = "b h q d, b h k d, b h k d{} -> b h q d, b h p e".format(
-        ", b h q k" if has_bias else ""
+    rule = "b h q d, b h k d, b h k d{} -> b h q d{}".format(
+        ", b h q k" if has_bias else "",
+        ", b h p e" if with_lse else "",
     )
     op.def_partition(infer_sharding_from_operands=infer, partition=partition, sharding_rule=rule)
     return op
+
+
+def _packed_axes(arg_shapes) -> tuple:
+    """(batch, feature) mesh axes from the packed q operand's sharding."""
+    spec = arg_shapes[0].sharding.spec
+    b = spec[0] if len(spec) > 0 else None
+    f = spec[2] if len(spec) > 2 else None
+    return b, f
+
+
+@functools.lru_cache(maxsize=None)
+def _partitioned_forward_packed(is_causal: bool, scale: float | None, head_dim: int, with_lse: bool):
+    """(q, k, v) packed (B, L, H·D) → (out[, lse]); batch shards over the
+    batch axis, heads over the FEATURE axis (megatron TP's natural output
+    sharding of the QKV projections — whole heads per device)."""
+
+    def impl(q, k, v):
+        return _flash_forward_packed(q, k, v, is_causal, scale, head_dim, with_lse=with_lse)
+
+    op = custom_partitioning(impl)
+    n_out = 2 if with_lse else 1
+
+    def infer(mesh, arg_shapes, result_shape):
+        b, f = _packed_axes(arg_shapes)
+        out = [NamedSharding(mesh, P(b, None, f))]
+        if with_lse:
+            out.append(NamedSharding(mesh, P(b, None, None)))  # lse: (B·H, Lq, LANE)
+        return tuple(out)
+
+    def partition(mesh, arg_shapes, result_shape):
+        b, f = _packed_axes(arg_shapes)
+        s = NamedSharding(mesh, P(b, None, f))
+        outs = [s]
+        if with_lse:
+            # lse's leading dim is B·H: the heads factor of a feature-axis
+            # shard lands in the leading dim — shard it over both axes
+            if b is not None and f is not None:
+                outs.append(NamedSharding(mesh, P((b, f), None, None)))
+            elif f is not None:
+                outs.append(NamedSharding(mesh, P(f, None, None)))
+            else:
+                outs.append(NamedSharding(mesh, P(b, None, None)))
+        return mesh, impl, tuple(outs), (s, s, s)
+
+    rule = "b q hd, b k hd, b k hd -> b q hd{}".format(", bh p e" if with_lse else "")
+    op.def_partition(infer_sharding_from_operands=infer, partition=partition, sharding_rule=rule)
+    return op
+
+
+@functools.lru_cache(maxsize=None)
+def _partitioned_backward_packed(is_causal: bool, scale: float | None, head_dim: int):
+    """Packed (q, k, v, o, lse, g) → (dq, dk, dv) over batch/feature axes."""
+
+    def impl(q, k, v, o, lse, g):
+        return _flash_backward_packed(q, k, v, o, lse, g, is_causal, scale, head_dim)
+
+    op = custom_partitioning(impl)
+
+    def infer(mesh, arg_shapes, result_shape):
+        b, f = _packed_axes(arg_shapes)
+        s = NamedSharding(mesh, P(b, None, f))
+        return (s, s, s)
+
+    def partition(mesh, arg_shapes, result_shape):
+        b, f = _packed_axes(arg_shapes)
+        s = NamedSharding(mesh, P(b, None, f))
+        if b is not None and f is not None:
+            lse_s = NamedSharding(mesh, P((b, f), None, None))
+        elif f is not None:
+            lse_s = NamedSharding(mesh, P(f, None, None))
+        else:
+            lse_s = NamedSharding(mesh, P(b, None, None))
+        return mesh, impl, (s, s, s), (s, s, s, s, lse_s, s)
+
+    op.def_partition(
+        infer_sharding_from_operands=infer,
+        partition=partition,
+        sharding_rule="b q hd, b k hd, b k hd, b q hd, bh p e, b q hd -> b q hd, b k hd, b k hd",
+    )
+    return op
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
+def flash_attention_packed(
+    q: jax.Array,
+    k: jax.Array,
+    v: jax.Array,
+    is_causal: bool = False,
+    scale: float | None = None,
+    head_dim: int = 64,
+) -> jax.Array:
+    """Flash attention over PACKED (B, L, H·D) operands — the multi-head
+    projection layout — with heads sliced by the kernel's BlockSpec index
+    maps instead of a split-heads transpose. Semantically identical to
+    `flash_attention` on the split view; saves the per-call head split/merge
+    data formatting and consumes megatron TP's feature-dim sharding natively.
+    No bias/mask support — masked callers route through `flash_attention`.
+    """
+    (out,) = _run_forward_packed(q, k, v, is_causal, scale, head_dim, with_lse=False)
+    return out
+
+
+def _run_forward_packed(q, k, v, is_causal, scale, head_dim, with_lse=True):
+    return _partitioned_forward_packed(is_causal, scale, head_dim, with_lse)(q, k, v)
+
+
+def _fwd_packed(q, k, v, is_causal, scale, head_dim):
+    out, lse = _run_forward_packed(q, k, v, is_causal, scale, head_dim)
+    return out, (q, k, v, out, lse)
+
+
+def _bwd_packed(is_causal, scale, head_dim, res, g):
+    q, k, v, out, lse = res
+    return _partitioned_backward_packed(is_causal, scale, head_dim)(q, k, v, out, lse, g)
+
+
+flash_attention_packed.defvjp(_fwd_packed, _bwd_packed)
 
 
 @functools.lru_cache(maxsize=None)
@@ -540,17 +920,20 @@ def flash_attention(
     `jax.sharding` meshes: the op partitions over batch ("data") and heads
     ("tensor") with no collectives inside attention.
     """
-    out, _ = _run_forward(q, k, v, bias, is_causal, scale)
+    # the primal skips the logsumexp residual (with_lse=False): under jit
+    # without differentiation this kernel variant avoids its HBM writes;
+    # under jax.grad the custom_vjp routes through `_fwd` instead.
+    (out,) = _run_forward(q, k, v, bias, is_causal, scale, with_lse=False)
     return out
 
 
-def _run_forward(q, k, v, bias, is_causal, scale):
+def _run_forward(q, k, v, bias, is_causal, scale, with_lse=True):
     b, h, lq, _ = q.shape
     lk = k.shape[2]
     if bias is None:
-        return _partitioned_forward(is_causal, scale, False)(q, k, v)
+        return _partitioned_forward(is_causal, scale, False, with_lse)(q, k, v)
     bias = jnp.broadcast_to(bias, (b, h, lq, lk))
-    return _partitioned_forward(is_causal, scale, True)(q, k, v, bias)
+    return _partitioned_forward(is_causal, scale, True, with_lse)(q, k, v, bias)
 
 
 def _fwd(q, k, v, bias, is_causal, scale):
