@@ -1,7 +1,13 @@
 """One SDXL-1024² on-chip program in a fresh process (driven by
-test_bf16_tpu.py::test_sdxl_1024_bf16_flash_on_chip).
+test_bf16_tpu.py::test_sdxl_1024_bf16_flash_on_chip and
+::test_sdxl_1024_int8_on_chip).
 
-    python tests/tpu/sdxl1024_runner.py {bf16|f32} out.npy
+    python tests/tpu/sdxl1024_runner.py {bf16|f32|int8} out.npy
+
+`int8` is the bf16+flash program with every large UNet linear W8A8-quantized
+(the `bench.py --int8` serving configuration): the SAME seeded bf16 weights
+are materialized on device first, then quantized in place, so the int8 run
+is comparable leaf-for-leaf against the bf16 run.
 
 Why a subprocess per program: the two programs (bf16+flash vs f32+XLA) each
 fit the 16 GB chip alone (f32 weights 9.9 GB + bounded activations — the XLA
@@ -36,8 +42,8 @@ def main(mode: str, out_path: str) -> None:
     from refiners_tpu.foundationals.latent_diffusion import DDIM, SDXLAutoencoder, SDXLUNet, StableDiffusion_XL
     from refiners_tpu.ops.attention import force_flash
 
-    dtype = jnp.bfloat16 if mode == "bf16" else jnp.float32
-    use_flash = mode == "bf16"
+    dtype = jnp.float32 if mode == "f32" else jnp.bfloat16
+    use_flash = mode in ("bf16", "int8")
     manual_seed(0)
     dev = jax.devices()[0]
 
@@ -80,6 +86,17 @@ def main(mode: str, out_path: str) -> None:
         small_placed = jax.device_put([a for _, a in small], dev)  # one bulk transfer
         for (path, _), arr in zip(small, small_placed):
             module._set_array_by_path(path, arr)
+
+    if mode == "int8":
+        # quantize AFTER device materialization so the int8 program derives
+        # from the exact weights the bf16 gate ran; quantize_int8 dispatches
+        # on the array's device, so this runs the Pallas stochastic-rounding
+        # kernel on the chip (the shipped quantization recipe).
+        from refiners_tpu.fluxion.optimization import quantize_linears
+
+        n_quant = quantize_linears(sd.unet, min_features=256)
+        assert n_quant > 0, "no linears quantized"
+        print(f"quantized {n_quant} unet linears (W8A8)")
 
     emb = jnp.zeros((2, 77, 2048), dtype)
     pooled = jnp.zeros((2, 1280), dtype)
