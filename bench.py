@@ -21,6 +21,90 @@ import json
 import time
 
 
+def _materialize_on_device(module, dev) -> None:
+    """Replace a host-built module's ≥2-D float leaves with seeded on-device
+    random arrays (init-like statistics; fan-in scaled) and bulk-transfer the
+    small 1-D leaves — identical FLOPs/memory traffic to real weights without
+    shipping GBs through the tunnel."""
+    import jax
+    import jax.numpy as jnp
+
+    entries = list(module.arrays())
+    big = [(p, a) for p, a in entries if jnp.issubdtype(a.dtype, jnp.floating) and a.ndim >= 2]
+    small = [(p, a) for p, a in entries if not (jnp.issubdtype(a.dtype, jnp.floating) and a.ndim >= 2)]
+    shapes = [(a.shape, a.dtype) for _, a in big]
+
+    def materialize(key: jax.Array) -> list[jax.Array]:
+        keys = jax.random.split(key, len(shapes))
+        out = []
+        for k, (shape, dt) in zip(keys, shapes):
+            fan_in = 1
+            for s in shape[:-1]:
+                fan_in *= s
+            out.append(jax.random.normal(k, shape, jnp.float32).astype(dt) * (fan_in**-0.5))
+        return out
+
+    placed = jax.jit(materialize, out_shardings=[jax.sharding.SingleDeviceSharding(dev)] * len(shapes))(
+        jax.random.key(7)
+    )
+    for (path, _), arr in zip(big, placed):
+        module._set_array_by_path(path, arr)
+    small_placed = jax.device_put([a for _, a in small], dev)
+    for (path, _), arr in zip(small, small_placed):
+        module._set_array_by_path(path, arr)
+
+
+def bench_sam(runs: int) -> None:
+    """SAM ViT-H masks/s on the chip: image encode (1024², 32-layer windowed
+    rel-pos ViT — the hot kernel) + one point-prompt decode per iteration.
+    BASELINE.json's metric line names 'SAM masks/s' as the second flagship."""
+    import time
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from PIL import Image
+
+    from refiners_tpu.fluxion import manual_seed
+    from refiners_tpu.foundationals.segment_anything import SegmentAnythingH
+
+    manual_seed(0)
+    with jax.default_device(jax.devices("cpu")[0]):
+        sam = SegmentAnythingH(dtype=jnp.bfloat16)
+    if jax.default_backend() != "cpu":
+        _materialize_on_device(sam, jax.devices()[0])
+
+    image = Image.fromarray(np.random.RandomState(0).randint(0, 255, (1024, 1024, 3), dtype=np.uint8))
+    prompt = dict(foreground_points=[(512.0, 512.0)])
+
+    def one() -> float:
+        embedding = sam.compute_image_embedding(image)
+        masks, iou, _ = sam.predict(embedding, **prompt)
+        total = float(np.asarray(iou, dtype=np.float32).sum()) + float(np.asarray(masks).sum())  # host readback
+        assert total == total, "non-finite SAM output"
+        return float(masks.shape[0] if masks.ndim == 3 else masks.shape[1])
+
+    n_masks = one()  # warmup / compile
+    times: list[float] = []
+    for _ in range(runs):
+        t0 = time.perf_counter()
+        n_masks = one()
+        times.append(time.perf_counter() - t0)
+    times.sort()
+    dt = times[len(times) // 2]
+    print(
+        json.dumps(
+            {
+                "synthetic_weights": True,
+                "metric": "SAM ViT-H 1024² encode + point-prompt decode (bf16, single v5e chip)",
+                "value": round(n_masks / dt, 4),
+                "unit": "masks/s",
+                "per_predict_s": round(dt, 4),
+            }
+        )
+    )
+
+
 def main() -> None:
     parser = argparse.ArgumentParser()
     parser.add_argument("--data-parallel", action="store_true", help="DP-shard a multi-image batch over all devices")
@@ -29,6 +113,11 @@ def main() -> None:
         "--int8",
         action="store_true",
         help="W8A8-quantize UNet attention/FF linears (int8 MXU dots; A/B the serving quant path)",
+    )
+    parser.add_argument(
+        "--sam",
+        action="store_true",
+        help="benchmark the second flagship instead: SAM ViT-H masks/s (encode + point decode)",
     )
     # median over 5: a single depressed run (host core still draining prior
     # work, tunnel hiccup) must not set the headline number
@@ -49,6 +138,10 @@ def main() -> None:
     import os
 
     os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/refiners_tpu_xla_cache")
+
+    if args.sam:
+        bench_sam(args.runs)
+        return
 
     import jax
     import jax.numpy as jnp

@@ -12,6 +12,7 @@ flash attention is sliced-by-construction with exact softmax.
 
 from __future__ import annotations
 
+import os
 from typing import Any
 
 import jax
@@ -62,14 +63,25 @@ class ScaledDotProductAttention(Module):
         if use_flash:
             # packed entry: the kernel's index maps slice heads out of the
             # (B, L, H·D) projection layout directly — no split/merge-heads
-            # transposes, and megatron TP's feature sharding flows through
-            from refiners_tpu.ops.flash_attention import flash_attention_packed
+            # transposes, and megatron TP's feature sharding flows through.
+            # REFINERS_TPU_FLASH_LAYOUT=split routes through the flat 4-D
+            # entry instead (program-level A/B of the packed layout).
+            if os.environ.get("REFINERS_TPU_FLASH_LAYOUT", "packed") != "split":
+                from refiners_tpu.ops.flash_attention import flash_attention_packed
 
-            return flash_attention_packed(
-                query, key, value,
+                return flash_attention_packed(
+                    query, key, value,
+                    is_causal=self.is_causal,
+                    head_dim=query.shape[-1] // self.num_heads,
+                )
+            out = dot_product_attention(
+                split_heads(query, self.num_heads),
+                split_heads(key, self.num_heads),
+                split_heads(value, self.num_heads),
                 is_causal=self.is_causal,
-                head_dim=query.shape[-1] // self.num_heads,
+                use_flash=True,
             )
+            return merge_heads(out)
         q = split_heads(query, self.num_heads)
         k = split_heads(key, self.num_heads)
         v = split_heads(value, self.num_heads)

@@ -221,12 +221,22 @@ def tensor_to_images(tensor: jax.Array) -> list[Image.Image]:
     return [tensor_to_image(t) for t in tensor]
 
 
-def load_tensors(path: Path | str) -> dict[str, jax.Array]:
-    """Load a torch .pt/.bin checkpoint via torch (CPU), as jnp arrays (utils.py:188)."""
+def load_tensors(path: Path | str) -> dict[str, Any]:
+    """Load a torch .pt/.bin checkpoint via torch (CPU), as jnp arrays (utils.py:188).
+
+    Nested dicts are converted recursively — textual-inversion embeddings ship
+    as e.g. ``{"string_to_param": {"*": tensor}}`` (the A1111 format the
+    reference's MultiUpscaler walks with a dot-separated key)."""
     import torch
 
     state = torch.load(path, map_location="cpu", weights_only=True)  # type: ignore[no-untyped-call]
-    return {k: jnp.asarray(np.asarray(v.to(torch.float32) if v.dtype == torch.bfloat16 else v)) for k, v in state.items()}
+
+    def convert(v: Any) -> Any:
+        if isinstance(v, dict):
+            return {k: convert(x) for k, x in v.items()}
+        return jnp.asarray(np.asarray(v.to(torch.float32) if v.dtype == torch.bfloat16 else v))
+
+    return convert(state)
 
 
 def load_from_safetensors(path: Path | str, device: Any = None) -> dict[str, jax.Array]:

@@ -32,6 +32,7 @@ from __future__ import annotations
 
 import functools
 import math
+import os
 
 import jax
 import jax.numpy as jnp
@@ -58,8 +59,13 @@ _BLOCK_K_BWD = 512
 # tiles internally, HBM stays compact), so explicit padding only adds full
 # HBM round-trips of q/k/v (+ an output slice copy) per call. Kept as a
 # switch for A/B and as an escape hatch for toolchains where a narrow minor
-# dim fails to lower.
-_PAD_HEAD_DIM = False
+# dim fails to lower. Env override: REFINERS_TPU_FLASH_PAD_HEAD_DIM=1.
+_PAD_HEAD_DIM = os.environ.get("REFINERS_TPU_FLASH_PAD_HEAD_DIM", "0") == "1"
+
+# Whether the inference primal keeps the logsumexp residual output. Off by
+# default (the VJP routes through its own forward and always keeps it); =1
+# re-enables it for program-level A/B of the no-lse primal.
+_PRIMAL_LSE = os.environ.get("REFINERS_TPU_FLASH_PRIMAL_LSE", "0") == "1"
 
 
 def _round_up(x: int, m: int) -> int:
@@ -851,8 +857,8 @@ def flash_attention_packed(
     data formatting and consumes megatron TP's feature-dim sharding natively.
     No bias/mask support — masked callers route through `flash_attention`.
     """
-    (out,) = _run_forward_packed(q, k, v, is_causal, scale, head_dim, with_lse=False)
-    return out
+    res = _run_forward_packed(q, k, v, is_causal, scale, head_dim, with_lse=_PRIMAL_LSE)
+    return res[0]
 
 
 def _run_forward_packed(q, k, v, is_causal, scale, head_dim, with_lse=True):
@@ -923,8 +929,9 @@ def flash_attention(
     # the primal skips the logsumexp residual (with_lse=False): under jit
     # without differentiation this kernel variant avoids its HBM writes;
     # under jax.grad the custom_vjp routes through `_fwd` instead.
-    (out,) = _run_forward(q, k, v, bias, is_causal, scale, with_lse=False)
-    return out
+    # (_PRIMAL_LSE re-enables the residual for program-level A/B.)
+    res = _run_forward(q, k, v, bias, is_causal, scale, with_lse=_PRIMAL_LSE)
+    return res[0]
 
 
 def _run_forward(q, k, v, bias, is_causal, scale, with_lse=True):

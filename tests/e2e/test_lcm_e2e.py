@@ -107,26 +107,32 @@ def test_lcm_base_4_step_pipeline(sdxl_pair) -> None:
     from refiners_tpu.foundationals.latent_diffusion.stable_diffusion_xl.lcm import ConditionScaleBlock
 
     ref, ours = sdxl_pair
-    ref.classifier_free_guidance = False
-    ours.classifier_free_guidance = False
-    ref_adapter = RefLcmAdapter(ref.unet, condition_scale=8.0).inject()
-    our_adapter = SDXLLcmAdapter(ours.unet, condition_scale=8.0).inject()
-    # the ConditionScaleBlock's bias-free Linear is fresh random state —
-    # sync it (torch Linear weight is (out, in); ours is (in, out))
-    ref_linear = ref.unet.ensure_find(RefConditionScaleBlock).ensure_find(rfl.Linear)
-    our_linear = ours.unet.ensure_find(ConditionScaleBlock).ensure_find(fl.Linear)
-    our_linear.weight = jnp.asarray(ref_linear.weight.detach().numpy().T)
-
-    rs = np.random.RandomState(31)
-    noise = rs.randn(1, 4, _LATENT, _LATENT).astype(np.float32)
-    emb = rs.randn(1, 77, 2048).astype(np.float32)
-    pooled = rs.randn(1, 1280).astype(np.float32)
+    # everything that mutates the module-scoped fixture happens INSIDE the
+    # try so a mid-setup failure can't leak adapters/CFG-flags into the next
+    # test sharing the fixture
+    ref_adapter = our_adapter = None
     try:
+        ref.classifier_free_guidance = False
+        ours.classifier_free_guidance = False
+        ref_adapter = RefLcmAdapter(ref.unet, condition_scale=8.0).inject()
+        our_adapter = SDXLLcmAdapter(ours.unet, condition_scale=8.0).inject()
+        # the ConditionScaleBlock's bias-free Linear is fresh random state —
+        # sync it (torch Linear weight is (out, in); ours is (in, out))
+        ref_linear = ref.unet.ensure_find(RefConditionScaleBlock).ensure_find(rfl.Linear)
+        our_linear = ours.unet.ensure_find(ConditionScaleBlock).ensure_find(fl.Linear)
+        our_linear.weight = jnp.asarray(ref_linear.weight.detach().numpy().T)
+
+        rs = np.random.RandomState(31)
+        noise = rs.randn(1, 4, _LATENT, _LATENT).astype(np.float32)
+        emb = rs.randn(1, 77, 2048).astype(np.float32)
+        pooled = rs.randn(1, 1280).astype(np.float32)
         image_our, image_ref = _run_traj(ref, ours, noise, emb, pooled, scale=1.0)
         ensure_similar_images(image_our, image_ref, min_psnr=35, min_ssim=0.98)
     finally:
-        ref_adapter.eject()
-        our_adapter.eject()
+        if ref_adapter is not None:
+            ref_adapter.eject()
+        if our_adapter is not None:
+            our_adapter.eject()
         ref.classifier_free_guidance = True
         ours.classifier_free_guidance = True
 

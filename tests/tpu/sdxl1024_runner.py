@@ -34,6 +34,7 @@ STEPS = 4
 
 
 def main(mode: str, out_path: str) -> None:
+    assert mode in ("bf16", "f32", "int8"), f"unknown mode {mode!r}"
     import jax
     import jax.numpy as jnp
 
