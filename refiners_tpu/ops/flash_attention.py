@@ -206,6 +206,13 @@ def _flash_forward(
     max_block_k = _BLOCK_K_BIAS if bias is not None else _BLOCK_K
     block_q = min(_BLOCK_Q, _round_up(lq, _LANE))
     block_k = min(max_block_k, _round_up(lk, _LANE))
+    # VMEM guard: the K/V stream is double-buffered at (block_k, d) tiles, so
+    # the tuned 2048-token K block (picked at the transformer's d=64) scales
+    # linearly with head_dim — at the VAE's single-head d=512 attention it
+    # overflows the 16 MB scoped-VMEM stack (measured: batch-4 decode at
+    # seq 16384 needs 16.07 MB). Keep block_k·d at the tuned d≤128 budget.
+    if d > _LANE:
+        block_k = max(_LANE, min(block_k, _round_up(_BLOCK_K * _LANE // d, _LANE)))
     d_pad = _round_up(d, _LANE) if _PAD_HEAD_DIM else d
     lq_pad = _round_up(lq, block_q)
     lk_pad = _round_up(lk, block_k)
@@ -387,6 +394,12 @@ def _flash_backward(
 
     block_q = min(_BLOCK_Q_BWD, _round_up(lq, _LANE))
     block_k = min(_BLOCK_K_BWD, _round_up(lk, _LANE))
+    # VMEM guard for wide heads (see the forward): the backward streams five
+    # (block, d) operands plus three f32 accumulators per program
+    if d > _LANE:
+        cap = max(_LANE, _round_up(_BLOCK_K_BWD * _LANE // d, _LANE))
+        block_q = min(block_q, cap)
+        block_k = min(block_k, cap)
     d_pad = _round_up(d, _LANE) if _PAD_HEAD_DIM else d
     lq_pad = _round_up(lq, block_q)
     lk_pad = _round_up(lk, block_k)
@@ -614,6 +627,12 @@ def _flash_forward_packed(
     scale = scale if scale is not None else 1.0 / math.sqrt(d)
     block_q = min(_BLOCK_Q, _round_up(lq, _LANE))
     block_k = min(_BLOCK_K, _round_up(lk, _LANE))
+    # VMEM guard (same as the flat path): the K/V stream is double-buffered
+    # at (block_k, n_sub·d) tiles — cap block_k·width at the tuned width-128
+    # budget, or the VAE's single-head d=512 sites overflow the 16 MB
+    # scoped-VMEM stack (measured at batch 4, seq 16384: 16.07 MB needed).
+    if n_sub * d > _LANE:
+        block_k = max(_LANE, min(block_k, _round_up(_BLOCK_K * _LANE // (n_sub * d), _LANE)))
     lq_pad = _round_up(lq, block_q)
     lk_pad = _round_up(lk, block_k)
     if lq_pad != lq:

@@ -71,9 +71,374 @@ def run_sd15_full(sd) -> np.ndarray:
     return np.asarray(sd.lda.decode(z))
 
 
+# ---------------------------------------------------------------------------
+# Adapter-zoo goldens (VERDICT r3 item 5): one reduced-SIZE golden per zoo
+# pipeline — full-width models (so the adapters see real channel widths) at
+# 128² / latent 16×16 over a 10-step trajectory, seeded weights, CLIP stubbed
+# (embeddings fed directly) except where the pipeline IS the text path (TI).
+# These mirror the live zoo tier (test_adapter_zoo_e2e.py /
+# test_adapter_pipeline_e2e.py), which is what verified the trees these
+# goldens were generated from — reference-free runs keep trajectory-level
+# coverage of every §2.8 adapter instead of only plain SD1.5.
+# ---------------------------------------------------------------------------
+
+_STEPS = 10
+_LATENT = 16
+
+
+def _sd15_stub_clip(steps: int = _STEPS, solver_cls=None):
+    import refiners_tpu.fluxion.layers as fl
+    from refiners_tpu.fluxion import manual_seed
+    from refiners_tpu.foundationals.latent_diffusion import DDIM, StableDiffusion_1
+
+    manual_seed(0)
+    solver = (solver_cls or DDIM)(num_inference_steps=steps)
+    return StableDiffusion_1(solver=solver, clip_text_encoder=fl.Chain(fl.Identity()))  # type: ignore[arg-type]
+
+
+def _traj(
+    sd,
+    *,
+    batch: int = 1,
+    scale: float = 7.5,
+    noise_seed: int = 50,
+    emb_seed: int = 51,
+    pre_step=None,
+    per_step=None,
+    solver_key=None,
+) -> np.ndarray:
+    rs = np.random.RandomState(noise_seed)
+    noise = rs.randn(batch, _LATENT, _LATENT, 4).astype(np.float32)
+    emb = np.random.RandomState(emb_seed).randn(2 * batch, 77, 768).astype(np.float32)
+    x = jnp.asarray(noise)
+    for step in sd.steps:
+        if pre_step is not None:
+            pre_step(step)
+        x = sd(
+            x,
+            step,
+            clip_text_embedding=jnp.asarray(emb),
+            condition_scale=scale,
+            **({"solver_key": jax.random.fold_in(solver_key, step)} if solver_key is not None else {}),
+        )
+        if per_step is not None:
+            x = per_step(step, x)
+    image = np.asarray(sd.lda.decode(x))
+    if batch > 1:  # tile horizontally so every sample is in the golden
+        image = np.concatenate(list(image), axis=1)[None]
+    return image
+
+
+def build_controlnet():
+    from refiners_tpu.foundationals.latent_diffusion import SD1ControlnetAdapter
+
+    sd = _sd15_stub_clip()
+    adapter = SD1ControlnetAdapter(sd.unet, name="canny").inject()
+    return sd, adapter
+
+
+def run_controlnet(pair) -> np.ndarray:
+    sd, adapter = pair
+    condition = np.random.RandomState(52).rand(1, 128, 128, 3).astype(np.float32)
+    adapter.set_controlnet_condition(jnp.asarray(condition))
+    return _traj(sd)
+
+
+def build_ip_adapter():
+    import refiners_tpu.fluxion.layers as fl
+    from refiners_tpu.foundationals.latent_diffusion import SD1IPAdapter
+
+    sd = _sd15_stub_clip()
+    enc = fl.Chain()
+    enc.embedding_dim = 1280  # type: ignore[attr-defined]
+    enc.output_dim = 1024  # type: ignore[attr-defined]
+    adapter = SD1IPAdapter(sd.unet, clip_image_encoder=enc).inject()  # type: ignore[arg-type]
+    return sd, adapter
+
+
+def run_ip_adapter(pair) -> np.ndarray:
+    sd, adapter = pair
+    image_emb = np.random.RandomState(53).randn(1, 4, 768).astype(np.float32)
+    adapter.set_clip_image_embedding(jnp.asarray(np.concatenate([np.zeros_like(image_emb), image_emb])))
+    return _traj(sd)
+
+
+def build_t2i_adapter():
+    from refiners_tpu.foundationals.latent_diffusion import SD1T2IAdapter
+
+    sd = _sd15_stub_clip()
+    adapter = SD1T2IAdapter(sd.unet, name="pose", scale=0.8).inject()
+    return sd, adapter
+
+
+def run_t2i_adapter(pair) -> np.ndarray:
+    sd, adapter = pair
+    condition = np.random.RandomState(54).rand(1, 128, 128, 3).astype(np.float32)
+    adapter.set_condition_features(adapter.compute_condition_features(jnp.asarray(condition)))
+    return _traj(sd)
+
+
+def build_freeu():
+    from refiners_tpu.foundationals.latent_diffusion import SDFreeUAdapter
+
+    sd = _sd15_stub_clip()
+    SDFreeUAdapter(sd.unet, backbone_scales=[1.2, 1.4], skip_scales=[0.9, 0.2]).inject()
+    return sd
+
+
+def build_sag():
+    sd = _sd15_stub_clip()
+    sd.set_self_attention_guidance(enable=True, scale=0.75)
+    return sd
+
+
+def build_style_aligned():
+    from refiners_tpu.foundationals.latent_diffusion import StyleAlignedAdapter
+
+    sd = _sd15_stub_clip()
+    StyleAlignedAdapter(sd.unet, scale=0.8).inject()
+    return sd
+
+
+def run_style_aligned(sd) -> np.ndarray:
+    return _traj(sd, batch=2, noise_seed=55, emb_seed=56)
+
+
+def build_restart():
+    from refiners_tpu.foundationals.latent_diffusion.restart import Restart
+
+    sd = _sd15_stub_clip()
+    return sd, Restart(ldm=sd, num_steps=4, num_iterations=1)
+
+
+def run_restart(pair) -> np.ndarray:
+    sd, restart = pair
+    emb = np.random.RandomState(51).randn(2, 77, 768).astype(np.float32)
+
+    def per_step(step, x):
+        if step == restart.start_step:
+            return restart(
+                x, clip_text_embedding=jnp.asarray(emb), condition_scale=7.5, key=jax.random.key(57)
+            )
+        return x
+
+    return _traj(sd, per_step=per_step)
+
+
+def build_ella():
+    from refiners_tpu.foundationals.latent_diffusion.stable_diffusion_1 import SD1ELLAAdapter
+
+    sd = _sd15_stub_clip()
+    adapter = SD1ELLAAdapter(sd.unet).inject()
+    # damp the random-init perceiver ×0.2: undamped random ELLA latents
+    # saturate the softmax into measured chaos (see the zoo-tier note), which
+    # would make the golden unstable across platforms
+    enc = adapter.latents_encoder
+    enc.load_state_dict({k: 0.2 * jnp.asarray(v) for k, v in enc.state_dict().items()})
+    return sd, adapter
+
+
+def run_ella(pair) -> np.ndarray:
+    sd, adapter = pair
+    llm_emb = 0.2 * np.random.RandomState(58).randn(2, 12, 2048).astype(np.float32)
+    adapter.set_llm_text_embedding(jnp.asarray(llm_emb))
+    return _traj(sd)
+
+
+def build_refonly():
+    from refiners_tpu.foundationals.latent_diffusion import ReferenceOnlyControlAdapter
+
+    sd = _sd15_stub_clip()
+    adapter = ReferenceOnlyControlAdapter(sd.unet).inject()
+    return sd, adapter
+
+
+def run_refonly(pair) -> np.ndarray:
+    sd, adapter = pair
+    rs = np.random.RandomState(59)
+    guide = rs.randn(1, _LATENT, _LATENT, 4).astype(np.float32)
+    guide = np.concatenate([guide, guide])
+    step_noises = [rs.randn(2, _LATENT, _LATENT, 4).astype(np.float32) for _ in range(_STEPS)]
+
+    def pre_step(step):
+        noised = sd.solver.add_noise(jnp.asarray(guide), jnp.asarray(step_noises[step]), step)
+        adapter.set_controlnet_condition(noised)
+
+    return _traj(sd, pre_step=pre_step)
+
+
+def build_ic_light():
+    import refiners_tpu.fluxion.layers as fl
+    from refiners_tpu.fluxion import manual_seed
+    from refiners_tpu.foundationals.latent_diffusion import DDIM, SD1UNet
+    from refiners_tpu.foundationals.latent_diffusion.stable_diffusion_1 import SD1Autoencoder
+    from refiners_tpu.foundationals.latent_diffusion.stable_diffusion_1.ic_light import ICLight
+
+    manual_seed(0)
+    unet = SD1UNet(in_channels=4)
+    lda = SD1Autoencoder()
+    conv_key = "DownBlocks.Chain_1.Conv2d.weight"
+    zero = {}
+    for k, v in unet.state_dict().items():
+        shape = list(np.asarray(v).shape)
+        if k == conv_key:
+            shape[2] = 8  # HWIO input-channel axis
+        zero[k] = np.zeros(shape, dtype=np.float32)
+    ic = ICLight(
+        patch_weights={k: jnp.asarray(v) for k, v in zero.items()},
+        unet=unet,
+        lda=lda,
+        clip_text_encoder=fl.Chain(fl.Identity()),  # type: ignore[arg-type]
+        solver=DDIM(num_inference_steps=_STEPS),
+    )
+    g = np.random.RandomState(60)
+    patch = {k: jnp.asarray(0.02 * g.randn(*np.asarray(v).shape).astype(np.float32)) for k, v in sorted(ic.unet.state_dict().items())}
+    ic._apply_patch(patch)
+    return ic
+
+
+def run_ic_light(ic) -> np.ndarray:
+    from PIL import Image
+
+    from refiners_tpu.foundationals.latent_diffusion.stable_diffusion_1.ic_light import ICLight
+
+    g = np.random.RandomState(61)
+    img = Image.fromarray((g.rand(128, 128, 3) * 255).astype(np.uint8))
+    mask = Image.fromarray((np.indices((128, 128)).sum(0) % 2 * 255).astype(np.uint8), mode="L")
+    ic.set_ic_light_condition(ICLight.compute_gray_composite(image=img, mask=mask))
+    return _traj(ic, scale=2.0, noise_seed=62, emb_seed=63)
+
+
+def build_textual_inversion():
+    from refiners_tpu.foundationals.clip.concepts import ConceptExtender
+
+    sd = build_sd15_reduced()  # reduced CLIP is real — the TI path needs it
+    extender = ConceptExtender(sd.clip_text_encoder)
+    extender.add_concept("<test-artwork>", jnp.asarray(np.random.RandomState(64).randn(768).astype(np.float32)))
+    extender.inject()
+    return sd
+
+
+def run_textual_inversion(sd) -> np.ndarray:
+    emb = sd.compute_clip_text_embedding(
+        text="a cute cat on a <test-artwork>", negative_text="low quality"
+    )
+    noise = np.random.RandomState(65).randn(1, _LATENT, _LATENT, 4).astype(np.float32)
+    z = sd.diffuse(jnp.asarray(noise), clip_text_embedding=emb, condition_scale=7.5)
+    return np.asarray(sd.lda.decode(z))
+
+
+def build_lcm():
+    from refiners_tpu.foundationals.latent_diffusion.solvers.lcm import LCMSolver
+
+    return _sd15_stub_clip(steps=4, solver_cls=lambda num_inference_steps: LCMSolver(num_inference_steps=num_inference_steps))
+
+
+def run_lcm(sd) -> np.ndarray:
+    # LCM re-noises between steps — thread a deterministic solver key
+    return _traj(sd, scale=1.5, noise_seed=66, emb_seed=67, solver_key=jax.random.key(68))
+
+
+def build_inpainting():
+    import refiners_tpu.fluxion.layers as fl
+    from refiners_tpu.fluxion import manual_seed
+    from refiners_tpu.foundationals.latent_diffusion import DDIM, StableDiffusion_1_Inpainting
+
+    manual_seed(0)
+    return StableDiffusion_1_Inpainting(
+        solver=DDIM(num_inference_steps=_STEPS),
+        clip_text_encoder=fl.Chain(fl.Identity()),  # type: ignore[arg-type]
+    )
+
+
+def run_inpainting(sd) -> np.ndarray:
+    from PIL import Image
+
+    g = np.random.RandomState(69)
+    target = Image.fromarray((g.rand(128, 128, 3) * 255).astype(np.uint8))
+    mask = Image.fromarray((np.indices((128, 128)).sum(0) // 64 % 2 * 255).astype(np.uint8), mode="L")
+    sd.set_inpainting_conditions(target, mask, latents_size=(_LATENT, _LATENT))
+    return _traj(sd, noise_seed=70, emb_seed=71)
+
+
+def build_multi_diffusion():
+    from refiners_tpu.foundationals.latent_diffusion import DDIM
+    from refiners_tpu.foundationals.latent_diffusion.stable_diffusion_1.multi_diffusion import (
+        SD1DiffusionTarget,
+        SD1MultiDiffusion,
+    )
+    from refiners_tpu.foundationals.latent_diffusion.multi_diffusion import MultiDiffusion, Size
+
+    sd = _sd15_stub_clip(steps=4)
+    md = SD1MultiDiffusion(sd)
+    emb = np.random.RandomState(72).randn(2, 77, 768).astype(np.float32)
+    tiles = MultiDiffusion.generate_latent_tiles(size=Size(16, 24), tile_size=Size(16, 16))
+    targets = [
+        SD1DiffusionTarget(
+            tile=t, solver=DDIM(num_inference_steps=4), clip_text_embedding=jnp.asarray(emb)
+        )
+        for t in tiles
+    ]
+    return sd, md, targets
+
+
+def run_multi_diffusion(triple) -> np.ndarray:
+    sd, md, targets = triple
+    noise = np.random.RandomState(73).randn(1, 16, 24, 4).astype(np.float32)
+    x = jnp.asarray(noise)
+    for step in sd.steps:
+        x = md(x, noise=jnp.asarray(noise), step=step, targets=targets)
+    return np.asarray(sd.lda.decode(x))
+
+
+def build_sdxl_full():
+    """Full-width SDXL, 30-step DDIM at 256² — the VERDICT-r3 SDXL golden."""
+    import refiners_tpu.fluxion.layers as fl
+    from refiners_tpu.fluxion import manual_seed
+    from refiners_tpu.foundationals.latent_diffusion import DDIM, SDXLAutoencoder, SDXLUNet, StableDiffusion_XL
+
+    manual_seed(0)
+    return StableDiffusion_XL(
+        unet=SDXLUNet(in_channels=4),
+        lda=SDXLAutoencoder(),
+        clip_text_encoder=fl.Chain(fl.Identity()),  # type: ignore[arg-type]
+        solver=DDIM(num_inference_steps=30),
+    )
+
+
+def run_sdxl_full(sd) -> np.ndarray:
+    rs = np.random.RandomState(74)
+    emb = jnp.asarray(rs.randn(2, 77, 2048).astype(np.float32))
+    pooled = jnp.asarray(rs.randn(2, 1280).astype(np.float32))
+    noise = jnp.asarray(rs.randn(1, 32, 32, 4).astype(np.float32))
+    z = sd.diffuse(
+        noise,
+        clip_text_embedding=emb,
+        pooled_text_embedding=pooled,
+        time_ids=sd.default_time_ids,
+        condition_scale=5.0,
+    )
+    return np.asarray(sd.lda.decode(z))
+
+
 GOLDENS = {
     "sd15_reduced_10step_128": (build_sd15_reduced, run_sd15_reduced),
     "sd15_full_30step_256": (build_sd15_full, run_sd15_full),
+    "controlnet_10step_128": (build_controlnet, run_controlnet),
+    "ip_adapter_10step_128": (build_ip_adapter, run_ip_adapter),
+    "t2i_adapter_10step_128": (build_t2i_adapter, run_t2i_adapter),
+    "freeu_10step_128": (build_freeu, _traj),
+    "sag_10step_128": (build_sag, _traj),
+    "style_aligned_10step_128": (build_style_aligned, run_style_aligned),
+    "restart_10step_128": (build_restart, run_restart),
+    "ella_10step_128": (build_ella, run_ella),
+    "refonly_10step_128": (build_refonly, run_refonly),
+    "ic_light_10step_128": (build_ic_light, run_ic_light),
+    "textual_inversion_10step_128": (build_textual_inversion, run_textual_inversion),
+    "lcm_4step_128": (build_lcm, run_lcm),
+    "inpainting_10step_128": (build_inpainting, run_inpainting),
+    "multi_diffusion_4step_128": (build_multi_diffusion, run_multi_diffusion),
+    "sdxl_full_30step_256": (build_sdxl_full, run_sdxl_full),
 }
 
 

@@ -219,6 +219,59 @@ def test_restart_10_step_pipeline(sd_pair, inputs, monkeypatch) -> None:
     ensure_similar_images(image_our, image_ref, min_psnr=35, min_ssim=0.98)
 
 
+def test_refonly_10_step_pipeline(sd_pair, inputs) -> None:
+    """Reference-only control runs a guide pre-pass EVERY step with a
+    freshly re-noised guide latent (reference flow:
+    /root/reference/tests/e2e/test_diffusion.py:1699 test_diffusion_refonly) —
+    the write-buffer contexts saved by the passthrough must have exactly
+    one-step lifetimes across the trajectory, which single-forward parity
+    (test_adapter_parity.py) cannot see."""
+    from refiners.foundationals.latent_diffusion.reference_only_control import (
+        ReferenceOnlyControlAdapter as RefAdapter,
+    )
+
+    from refiners_tpu.foundationals.latent_diffusion import ReferenceOnlyControlAdapter
+
+    ref, ours = sd_pair
+    ref_adapter = RefAdapter(ref.unet).inject()
+    our_adapter = ReferenceOnlyControlAdapter(ours.unet).inject()
+
+    noise, emb = inputs
+    rs = np.random.RandomState(34)
+    guide = rs.randn(1, 4, 32, 32).astype(np.float32)
+    guide = np.concatenate([guide, guide])  # CFG pair, as the reference e2e does
+    step_noises = [rs.randn(2, 4, 32, 32).astype(np.float32) for _ in range(_STEPS)]
+
+    try:
+        x_ref = torch.from_numpy(noise.copy())
+        with torch.no_grad():
+            for step in ref.steps:
+                noised_guide = ref.solver.add_noise(
+                    torch.from_numpy(guide.copy()), torch.from_numpy(step_noises[step].copy()), step
+                )
+                ref_adapter.set_controlnet_condition(noised_guide)
+                x_ref = ref(
+                    x_ref, step=step, clip_text_embedding=torch.from_numpy(emb.copy()), condition_scale=7.5
+                )
+            image_ref = ref.lda.decode(x_ref).numpy()
+
+        guide_j = jnp.asarray(guide.transpose(0, 2, 3, 1))
+        x_our = jnp.asarray(noise.transpose(0, 2, 3, 1))
+        for step in ours.steps:
+            noised_guide = ours.solver.add_noise(
+                guide_j, jnp.asarray(step_noises[step].transpose(0, 2, 3, 1)), step
+            )
+            our_adapter.set_controlnet_condition(noised_guide)
+            x_our = ours(x_our, step, clip_text_embedding=jnp.asarray(emb), condition_scale=7.5)
+        image_our = np.asarray(ours.lda.decode(x_our)).transpose(0, 3, 1, 2)
+
+        np.testing.assert_allclose(np.asarray(x_our).transpose(0, 3, 1, 2), x_ref.numpy(), atol=5e-3)
+        ensure_similar_images(image_our, image_ref, min_psnr=35, min_ssim=0.98)
+    finally:
+        ref_adapter.eject()
+        our_adapter.eject()
+
+
 def test_ella_10_step_pipeline(sd_pair, inputs) -> None:
     """ELLA swaps every cross-attention source to the timestep-aware
     resampler output. Random-init perceiver weights are damped (×0.2, both

@@ -36,3 +36,21 @@ def test_sd15_reduced_10step_golden() -> None:
 @pytest.mark.slow
 def test_sd15_full_30step_golden() -> None:
     _check("sd15_full_30step_256")
+
+
+# The adapter-zoo golden tier (VERDICT r3 item 5): trajectory-level,
+# reference-free coverage of every §2.8 adapter pipeline plus SDXL at 30
+# steps. Slow (full-width models on CPU), but unlike the live zoo tier these
+# never skip when /root/reference is absent.
+_ZOO_GOLDENS = sorted(
+    name for name in GOLDENS if name not in ("sd15_reduced_10step_128", "sd15_full_30step_256")
+)
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("name", _ZOO_GOLDENS)
+def test_zoo_golden(name: str) -> None:
+    import gc
+
+    _check(name)
+    gc.collect()  # full-width SD15/SDXL trees — release between params

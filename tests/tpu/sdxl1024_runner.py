@@ -30,7 +30,10 @@ import numpy as np
 
 sys.path.insert(0, str(Path(__file__).resolve().parents[2]))  # repo root
 
-STEPS = 4
+# The gate runs the exact program bench.py times (VERDICT r3 item 7): the
+# deployed 30-step trajectory, so dtype/quantization drift that compounds
+# over steps is what gets measured, not a 4-step proxy.
+STEPS = 30
 
 
 def main(mode: str, out_path: str) -> None:
