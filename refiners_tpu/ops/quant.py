@@ -25,8 +25,14 @@ def _quantize_kernel(x_ref, seed_ref, values_ref, scales_ref):
     abs_max = jnp.max(jnp.abs(x), axis=0, keepdims=True)
     scale = jnp.maximum(abs_max, 1e-8) / 127.0
     scaled = x / scale
-    random_bits = pltpu.bitcast(pltpu.prng_random_bits(scaled.shape), jnp.uint32)
-    values_ref[:] = pltpu.stochastic_round(scaled, random_bits, target_dtype=jnp.int8)
+    # Stochastic round to the integer grid: floor(x + u), u ~ U[0, 1) from 24
+    # PRNG bits. (pltpu.stochastic_round only targets bf16/f8 dtypes, not
+    # int8, and Mosaic lowers no uint32→f32 cast — so mask int32 bits to 24.)
+    # scaled ∈ [-127, 127] by construction and floor(x + u) never exceeds
+    # ceil(x), so the result stays in int8 range without a clip.
+    random_bits = pltpu.bitcast(pltpu.prng_random_bits(scaled.shape), jnp.int32)
+    u = (random_bits & 0xFFFFFF).astype(jnp.float32) * (1.0 / (1 << 24))
+    values_ref[:] = jnp.floor(scaled + u).astype(jnp.int8)
     scales_ref[:] = scale
 
 
