@@ -17,10 +17,18 @@ from jax.experimental.pallas import tpu as pltpu
 
 import refiners_tpu.fluxion.layers as fl
 
+_QUANT_BLOCK_COLS = 256  # 5120 rows × 256 cols f32 ≈ 5 MB/buffer in VMEM
+
 
 def _quantize_kernel(x_ref, seed_ref, values_ref, scales_ref):
-    """Per-column (output-feature) int8 quantization with stochastic rounding."""
-    pltpu.prng_seed(seed_ref[0])
+    """Per-column (output-feature) int8 quantization with stochastic rounding.
+
+    Gridded over column blocks: each program sees every row of its columns
+    (the per-channel abs-max needs the full column), so VMEM holds only
+    in_features × _QUANT_BLOCK_COLS floats — a full SDXL FF weight
+    (5120×1280 f32 = 26 MB) would otherwise overflow the 16 MB scoped VMEM.
+    """
+    pltpu.prng_seed(seed_ref[0] + pl.program_id(0))  # decorrelate blocks
     x = x_ref[:]
     abs_max = jnp.max(jnp.abs(x), axis=0, keepdims=True)
     scale = jnp.maximum(abs_max, 1e-8) / 127.0
@@ -49,19 +57,22 @@ def quantize_int8(w: jax.Array, seed: int = 0) -> tuple[jax.Array, jax.Array]:
         scale = jnp.maximum(abs_max, 1e-8) / 127.0
         values = jnp.clip(jnp.round(w / scale), -127, 127).astype(jnp.int8)
         return values, scale.astype(jnp.float32)
+    rows, cols = w.shape
+    block = min(_QUANT_BLOCK_COLS, cols)
     values, scales = pl.pallas_call(
         _quantize_kernel,
+        grid=(pl.cdiv(cols, block),),
         out_shape=(
             jax.ShapeDtypeStruct(w.shape, jnp.int8),
-            jax.ShapeDtypeStruct((1, w.shape[1]), jnp.float32),
+            jax.ShapeDtypeStruct((1, cols), jnp.float32),
         ),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec((rows, block), lambda i: (0, i)),
             pl.BlockSpec(memory_space=pltpu.SMEM),
         ],
         out_specs=(
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec((rows, block), lambda i: (0, i)),
+            pl.BlockSpec((1, block), lambda i: (0, i)),
         ),
     )(w.astype(jnp.float32), jnp.asarray([seed], dtype=jnp.int32))
     return values, scales
