@@ -36,11 +36,14 @@ def _quantize_kernel(x_ref, seed_ref, values_ref, scales_ref):
     # Stochastic round to the integer grid: floor(x + u), u ~ U[0, 1) from 24
     # PRNG bits. (pltpu.stochastic_round only targets bf16/f8 dtypes, not
     # int8, and Mosaic lowers no uint32→f32 cast — so mask int32 bits to 24.)
-    # scaled ∈ [-127, 127] by construction and floor(x + u) never exceeds
-    # ceil(x), so the result stays in int8 range without a clip.
+    # scale = fl(abs_max/127) can round a couple of f32 ulps below abs_max/127,
+    # putting the column-max element's |scaled| marginally above 127 — and
+    # floor(127.0000x + u) can then hit ±128, whose f32→int8 conversion is
+    # implementation-defined (a wrap would sign-flip the channel's largest
+    # weight). Clamp to the symmetric grid before the cast, like the CPU path.
     random_bits = pltpu.bitcast(pltpu.prng_random_bits(scaled.shape), jnp.int32)
     u = (random_bits & 0xFFFFFF).astype(jnp.float32) * (1.0 / (1 << 24))
-    values_ref[:] = jnp.floor(scaled + u).astype(jnp.int8)
+    values_ref[:] = jnp.clip(jnp.floor(scaled + u), -127.0, 127.0).astype(jnp.int8)
     scales_ref[:] = scale
 
 
@@ -58,7 +61,13 @@ def quantize_int8(w: jax.Array, seed: int = 0) -> tuple[jax.Array, jax.Array]:
         values = jnp.clip(jnp.round(w / scale), -127, 127).astype(jnp.int8)
         return values, scale.astype(jnp.float32)
     rows, cols = w.shape
-    block = min(_QUANT_BLOCK_COLS, cols)
+    # Bound VMEM by the actual row count: double-buffered f32 input blocks
+    # must fit a ~12 MB budget (16 MB scoped VMEM minus output buffers), so a
+    # model wider than SDXL's 5120-feature FF (where rows × 256 cols ≈ 5 MB
+    # per buffer) shrinks the column block instead of overflowing.
+    budget_bytes = 12 * 1024 * 1024
+    max_block = max(128, budget_bytes // (rows * 4 * 2) // 128 * 128)
+    block = min(_QUANT_BLOCK_COLS, max_block, cols)
     values, scales = pl.pallas_call(
         _quantize_kernel,
         grid=(pl.cdiv(cols, block),),
