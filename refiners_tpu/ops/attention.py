@@ -15,6 +15,7 @@ from __future__ import annotations
 import contextlib
 import functools
 import math
+import os
 from typing import Iterator
 
 import jax
@@ -24,7 +25,7 @@ import jax.numpy as jnp
 # host-fetch timing (SDXL 1024², 30-step diffuse): no flash 4.95s, flash at
 # >=4096 4.69s, flash at >=1024 4.57s. Below 1024 the L² buffer fits in
 # VMEM-resident fusions and launch overhead dominates.
-_FLASH_MIN_SEQ = 1024
+_FLASH_MIN_SEQ = int(os.environ.get("REFINERS_TPU_FLASH_MIN_SEQ", "1024"))
 
 # test/deployment override for the auto-selection: None = auto (backend +
 # sequence-length heuristics), True/False = force. Set via `force_flash`.
@@ -55,6 +56,18 @@ def flash_auto(x: jax.Array, *seq_lens: int) -> bool:
     if _FLASH_OVERRIDE is not None:
         return _FLASH_OVERRIDE
     return all(s >= _FLASH_MIN_SEQ for s in seq_lens) and flash_capable(x)
+
+
+def flash_auto_relpos(x: jax.Array) -> bool:
+    """Selection policy for the decomposed rel-pos kernel: no sequence floor.
+
+    The XLA fallback materializes an O(L²) f32 bias whatever the length —
+    at SAM's windowed layers (seq 196 × 400 batch·head rows) that is ~61 MB
+    of logits+bias traffic per layer, which the kernel never writes — so the
+    kernel is selected at every sequence length (A/B in docs/performance.md)."""
+    if _FLASH_OVERRIDE is not None:
+        return _FLASH_OVERRIDE
+    return flash_capable(x)
 
 
 def flash_capable(x: jax.Array) -> bool:

@@ -67,9 +67,22 @@ _PAD_HEAD_DIM = os.environ.get("REFINERS_TPU_FLASH_PAD_HEAD_DIM", "0") == "1"
 # re-enables it for program-level A/B of the no-lse primal.
 _PRIMAL_LSE = os.environ.get("REFINERS_TPU_FLASH_PRIMAL_LSE", "0") == "1"
 
+# A/B knob: multiply the packed path's heads-per-program grouping (see
+# _packed_n_sub). Default 1 = the tuned minimal grouping.
+_NSUB_MULT = int(os.environ.get("REFINERS_TPU_FLASH_NSUB_MULT", "1"))
+
 
 def _round_up(x: int, m: int) -> int:
     return (x + m - 1) // m * m
+
+
+def _vmem_cap(budget_block: int, width: int) -> int:
+    """Largest lane-multiple block ≤ the tuned budget_block·LANE byte budget.
+
+    Rounds DOWN: rounding up can exceed the block·width budget by a few
+    percent when width doesn't divide budget_block·LANE (e.g. d=160 → +3%),
+    and the guard exists because the budget was overrun by only 0.4%."""
+    return max(_LANE, (budget_block * _LANE // width) // _LANE * _LANE)
 
 
 def _interpret() -> bool:
@@ -212,7 +225,7 @@ def _flash_forward(
     # overflows the 16 MB scoped-VMEM stack (measured: batch-4 decode at
     # seq 16384 needs 16.07 MB). Keep block_k·d at the tuned d≤128 budget.
     if d > _LANE:
-        block_k = max(_LANE, min(block_k, _round_up(_BLOCK_K * _LANE // d, _LANE)))
+        block_k = min(block_k, _vmem_cap(_BLOCK_K, d))
     d_pad = _round_up(d, _LANE) if _PAD_HEAD_DIM else d
     lq_pad = _round_up(lq, block_q)
     lk_pad = _round_up(lk, block_k)
@@ -288,6 +301,184 @@ def _flash_forward(
     if not with_lse:
         return (out,)
     return out, results[1].reshape(b, h, lq_pad, _LANE)
+
+
+# ---------------------------------------------------------------------------
+# decomposed relative-position forward (SAM global attention)
+# ---------------------------------------------------------------------------
+
+
+def _flash_relpos_kernel(
+    q_ref,
+    k_ref,
+    v_ref,
+    vrel_ref,
+    hrel_ref,
+    o_ref,
+    m_ref,
+    l_ref,
+    acc_ref,
+    *,
+    scale: float,
+    block_k: int,
+    kw: int,
+    kv_len: int,
+    num_k_blocks: int,
+):
+    """Flash forward whose bias is the SAM decomposed relative position:
+    bias[q, k] = v_rel[q, k // kw] + h_rel[q, k % kw].
+
+    The (block_q, block_k) bias tile is rebuilt on-chip from the two O(L·√L)
+    row/column terms with two tiny 0/1-expansion MXU dots (iota comparisons —
+    no gathers, no relayouts), so NO O(L²) bias is ever materialized in HBM.
+    Materializing it costs ~1 GB f32 per SAM-H global layer (16 heads ×
+    4096²) — measured at ~8 ms/layer of broadcast+reshape plus a bias-read-
+    bound kernel; this kernel reads 33 MB total instead.
+    """
+    k_blk = pl.program_id(2)
+
+    @pl.when(k_blk == 0)
+    def _init():
+        m_ref[...] = jnp.full_like(m_ref, _NEG_INF)
+        l_ref[...] = jnp.zeros_like(l_ref)
+        acc_ref[...] = jnp.zeros_like(acc_ref)
+
+    q = q_ref[0]
+    k = k_ref[0]
+    v = v_ref[0]
+    s = (
+        jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32)
+        * scale
+    )  # (block_q, block_k) f32
+
+    # bias tile via expansion dots: E_v[r, j] = [r == (k0 + j) // kw],
+    # E_h[c, j] = [c == j % kw] (block_k is a kw multiple, so the global
+    # column's modulus equals the tile-local one)
+    kh = vrel_ref.shape[-1]
+    col = k_blk * block_k + jax.lax.broadcasted_iota(jnp.int32, (kh, block_k), 1)
+    row_ids = jax.lax.broadcasted_iota(jnp.int32, (kh, block_k), 0)
+    e_v = (row_ids == col // kw).astype(jnp.float32)
+    colh = jax.lax.broadcasted_iota(jnp.int32, (kw, block_k), 1)
+    colh_ids = jax.lax.broadcasted_iota(jnp.int32, (kw, block_k), 0)
+    e_h = (colh_ids == colh % kw).astype(jnp.float32)
+    bias = jax.lax.dot_general(
+        vrel_ref[0].astype(jnp.float32), e_v, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    ) + jax.lax.dot_general(
+        hrel_ref[0].astype(jnp.float32), e_h, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    )
+    s = s + bias
+    if kv_len % block_k:  # sequence padding: mask the tail keys
+        col_j = k_blk * block_k + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+        s = jnp.where(col_j < kv_len, s, _NEG_INF)
+
+    m_prev = m_ref[...][:, :1]
+    l_prev = l_ref[...][:, :1]
+    m_cur = jnp.max(s, axis=-1, keepdims=True)
+    m_new = jnp.maximum(m_prev, m_cur)
+    p = jnp.exp(s - m_new)
+    alpha = jnp.exp(m_prev - m_new)
+    l_new = alpha * l_prev + jnp.sum(p, axis=-1, keepdims=True)
+    acc_ref[...] = acc_ref[...] * alpha + jax.lax.dot_general(
+        p.astype(v.dtype), v, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    )
+    m_ref[...] = jnp.broadcast_to(m_new, m_ref.shape)
+    l_ref[...] = jnp.broadcast_to(l_new, l_ref.shape)
+
+    @pl.when(k_blk == num_k_blocks - 1)
+    def _finish():
+        o_ref[0] = (acc_ref[...] / l_ref[...][:, :1]).astype(o_ref.dtype)
+
+
+def flash_attention_relpos(
+    q: jax.Array,
+    k: jax.Array,
+    v: jax.Array,
+    v_rel: jax.Array,
+    h_rel: jax.Array,
+    scale: float | None = None,
+) -> jax.Array:
+    """Flash attention with SAM's decomposed relative-position bias
+    (reference image_encoder.py:58-101: logits + v_rel[..., None] +
+    h_rel[..., None, :]) computed on-chip — never materialized at O(L²).
+
+    q/k/v: (B, H, L, D) with L = kh·kw; v_rel: (B, H, L, kh) — bias over the
+    key row, broadcast over key columns; h_rel: (B, H, L, kw) — bias over the
+    key column. Inference primal only (SAM encode is not a training path);
+    single-device — the SAM encoder runs unsharded.
+    """
+    b, h, lq, d = q.shape
+    lk = k.shape[2]
+    kh = v_rel.shape[-1]
+    kw = h_rel.shape[-1]
+    assert kh * kw == lk, f"decomposed bias {kh}x{kw} != kv length {lk}"
+    scale = scale if scale is not None else 1.0 / math.sqrt(d)
+
+    block_q = min(_BLOCK_Q, _round_up(lq, _LANE))
+    block_k = min(_BLOCK_K, _round_up(lk, _LANE))
+    if d > _LANE:
+        block_k = min(block_k, _vmem_cap(_BLOCK_K, d))
+    lq_pad = _round_up(lq, block_q)
+    lk_pad = _round_up(lk, block_k)
+    num_k_blocks = lk_pad // block_k
+    # the expansion dots need every tile's key columns to share one kw phase:
+    # either whole kw rows per tile, or a single tile (then col == j directly,
+    # padded tail masked by kv_len) — SAM's windowed layers (lk=196=14²,
+    # single 256 block) take the second branch
+    if not (block_k % kw == 0 or num_k_blocks == 1):
+        bias = (
+            v_rel[..., :, None].astype(jnp.float32) + h_rel[..., None, :].astype(jnp.float32)
+        ).reshape(b, h, lq, lk)
+        return flash_attention(q, k, v, bias=bias, scale=scale)
+
+    qf = q.reshape(b * h, lq, d)
+    kf = k.reshape(b * h, lk, d)
+    vf = v.reshape(b * h, lk, d)
+    vrel_f = v_rel.reshape(b * h, lq, kh)
+    hrel_f = h_rel.reshape(b * h, lq, kw)
+    if lq_pad != lq:
+        qf = jnp.pad(qf, ((0, 0), (0, lq_pad - lq), (0, 0)))
+        vrel_f = jnp.pad(vrel_f, ((0, 0), (0, lq_pad - lq), (0, 0)))
+        hrel_f = jnp.pad(hrel_f, ((0, 0), (0, lq_pad - lq), (0, 0)))
+    if lk_pad != lk:
+        kf = jnp.pad(kf, ((0, 0), (0, lk_pad - lk), (0, 0)))
+        vf = jnp.pad(vf, ((0, 0), (0, lk_pad - lk), (0, 0)))
+
+    kernel = functools.partial(
+        _flash_relpos_kernel,
+        scale=scale,
+        block_k=block_k,
+        kw=kw,
+        kv_len=lk,
+        num_k_blocks=num_k_blocks,
+    )
+    out = pl.pallas_call(
+        kernel,
+        grid=(b * h, lq_pad // block_q, num_k_blocks),
+        in_specs=[
+            pl.BlockSpec((1, block_q, d), lambda i, j, n: (i, j, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_k, d), lambda i, j, n: (i, n, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_k, d), lambda i, j, n: (i, n, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_q, kh), lambda i, j, n: (i, j, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_q, kw), lambda i, j, n: (i, j, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, block_q, d), lambda i, j, n: (i, j, 0), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b * h, lq_pad, d), q.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((block_q, _LANE), jnp.float32),
+            pltpu.VMEM((block_q, _LANE), jnp.float32),
+            pltpu.VMEM((block_q, d), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * b * h * lq * lk * d,
+            bytes_accessed=(qf.size + kf.size + vf.size) * qf.dtype.itemsize,
+            transcendentals=b * h * lq * lk,
+        ),
+        interpret=_interpret(),
+    )(qf, kf, vf, vrel_f, hrel_f)
+    return out[:, :lq, :].reshape(b, h, lq, d)
 
 
 # ---------------------------------------------------------------------------
@@ -397,7 +588,7 @@ def _flash_backward(
     # VMEM guard for wide heads (see the forward): the backward streams five
     # (block, d) operands plus three f32 accumulators per program
     if d > _LANE:
-        cap = max(_LANE, _round_up(_BLOCK_K_BWD * _LANE // d, _LANE))
+        cap = _vmem_cap(_BLOCK_K_BWD, d)
         block_q = min(block_q, cap)
         block_k = min(block_k, cap)
     d_pad = _round_up(d, _LANE) if _PAD_HEAD_DIM else d
@@ -589,8 +780,14 @@ def _flash_kernel_packed(
 
 
 def _packed_n_sub(d: int) -> int:
-    """Sub-heads per program: smallest n with n·d a lane-width multiple."""
-    return _LANE // math.gcd(d, _LANE)
+    """Sub-heads per program: smallest n with n·d a lane-width multiple.
+
+    REFINERS_TPU_FLASH_NSUB_MULT multiplies the grouping for program-level
+    A/B (more heads per program amortize the K/V stream at short sequences —
+    the seq-1024 sites run at ~52% MXU vs 67% at seq 4096); callers fall back
+    to the flat path when the result doesn't divide the head count."""
+    base = _LANE // math.gcd(d, _LANE)
+    return base * _NSUB_MULT
 
 
 def _flash_forward_packed(
@@ -632,7 +829,7 @@ def _flash_forward_packed(
     # budget, or the VAE's single-head d=512 sites overflow the 16 MB
     # scoped-VMEM stack (measured at batch 4, seq 16384: 16.07 MB needed).
     if n_sub * d > _LANE:
-        block_k = max(_LANE, min(block_k, _round_up(_BLOCK_K * _LANE // (n_sub * d), _LANE)))
+        block_k = min(block_k, _vmem_cap(_BLOCK_K, n_sub * d))
     lq_pad = _round_up(lq, block_q)
     lk_pad = _round_up(lk, block_k)
     if lq_pad != lq:
@@ -741,11 +938,21 @@ def _flash_backward_packed(
 # `infer_sharding_from_operands` covers the non-Shardy path.
 
 
-def _bh_axes(arg_shapes) -> tuple:
-    """(batch, heads) mesh axes taken from the q operand's sharding."""
+def _bh_axes(arg_shapes, mesh=None) -> tuple:
+    """(batch, heads) mesh axes taken from the q operand's sharding.
+
+    With `mesh`, the heads axis is dropped (replicated) when its mesh size
+    doesn't divide the head count — an uneven heads shard would make GSPMD
+    pad the axis and the kernel attend over garbage heads."""
     spec = arg_shapes[0].sharding.spec
     b = spec[0] if len(spec) > 0 else None
     h = spec[1] if len(spec) > 1 else None
+    if h is not None and mesh is not None:
+        heads = arg_shapes[0].shape[1]
+        axes = h if isinstance(h, tuple) else (h,)
+        size = math.prod(mesh.shape[a] for a in axes)
+        if heads % size:
+            h = None
     return b, h
 
 
@@ -763,12 +970,12 @@ def _partitioned_forward(is_causal: bool, scale: float | None, has_bias: bool, w
     n_out = 2 if with_lse else 1
 
     def infer(mesh, arg_shapes, result_shape):
-        b, h = _bh_axes(arg_shapes)
+        b, h = _bh_axes(arg_shapes, mesh)
         s = NamedSharding(mesh, P(b, h, None, None))
         return tuple(s for _ in range(n_out))
 
     def partition(mesh, arg_shapes, result_shape):
-        b, h = _bh_axes(arg_shapes)
+        b, h = _bh_axes(arg_shapes, mesh)
         s = NamedSharding(mesh, P(b, h, None, None))
         return mesh, impl, tuple(s for _ in range(n_out)), tuple(s for _ in arg_shapes)
 
@@ -780,11 +987,23 @@ def _partitioned_forward(is_causal: bool, scale: float | None, has_bias: bool, w
     return op
 
 
-def _packed_axes(arg_shapes) -> tuple:
-    """(batch, feature) mesh axes from the packed q operand's sharding."""
+def _packed_axes(arg_shapes, mesh=None, head_dim: int | None = None) -> tuple:
+    """(batch, feature) mesh axes from the packed q operand's sharding.
+
+    When `mesh`/`head_dim` are given, the feature axis is DROPPED (replicated)
+    if its mesh size doesn't divide the head count — a feature-dim shard must
+    hold whole heads, and e.g. a 1-head d=64 site under 2-way TP would
+    otherwise slice a single head in half (GSPMD then inserts the all-gather
+    before the op instead)."""
     spec = arg_shapes[0].sharding.spec
     b = spec[0] if len(spec) > 0 else None
     f = spec[2] if len(spec) > 2 else None
+    if f is not None and mesh is not None and head_dim is not None:
+        heads = arg_shapes[0].shape[2] // head_dim
+        axes = f if isinstance(f, tuple) else (f,)
+        size = math.prod(mesh.shape[a] for a in axes)
+        if heads % size:
+            f = None
     return b, f
 
 
@@ -801,14 +1020,14 @@ def _partitioned_forward_packed(is_causal: bool, scale: float | None, head_dim: 
     n_out = 2 if with_lse else 1
 
     def infer(mesh, arg_shapes, result_shape):
-        b, f = _packed_axes(arg_shapes)
+        b, f = _packed_axes(arg_shapes, mesh, head_dim)
         out = [NamedSharding(mesh, P(b, None, f))]
         if with_lse:
             out.append(NamedSharding(mesh, P(b, None, None)))  # lse: (B·H, Lq, LANE)
         return tuple(out)
 
     def partition(mesh, arg_shapes, result_shape):
-        b, f = _packed_axes(arg_shapes)
+        b, f = _packed_axes(arg_shapes, mesh, head_dim)
         s = NamedSharding(mesh, P(b, None, f))
         outs = [s]
         if with_lse:
@@ -837,12 +1056,12 @@ def _partitioned_backward_packed(is_causal: bool, scale: float | None, head_dim:
     op = custom_partitioning(impl)
 
     def infer(mesh, arg_shapes, result_shape):
-        b, f = _packed_axes(arg_shapes)
+        b, f = _packed_axes(arg_shapes, mesh, head_dim)
         s = NamedSharding(mesh, P(b, None, f))
         return (s, s, s)
 
     def partition(mesh, arg_shapes, result_shape):
-        b, f = _packed_axes(arg_shapes)
+        b, f = _packed_axes(arg_shapes, mesh, head_dim)
         s = NamedSharding(mesh, P(b, None, f))
         if b is not None and f is not None:
             lse_s = NamedSharding(mesh, P((b, f), None, None))
@@ -907,12 +1126,12 @@ def _partitioned_backward(is_causal: bool, scale: float | None):
     op = custom_partitioning(impl)
 
     def infer(mesh, arg_shapes, result_shape):
-        b, h = _bh_axes(arg_shapes)
+        b, h = _bh_axes(arg_shapes, mesh)
         s = NamedSharding(mesh, P(b, h, None, None))
         return (s, s, s)
 
     def partition(mesh, arg_shapes, result_shape):
-        b, h = _bh_axes(arg_shapes)
+        b, h = _bh_axes(arg_shapes, mesh)
         s = NamedSharding(mesh, P(b, h, None, None))
         return mesh, impl, (s, s, s), tuple(s for _ in arg_shapes)
 

@@ -97,6 +97,32 @@ def test_flash_sharded_gradients_match_single_device() -> None:
         np.testing.assert_allclose(np.asarray(g), np.asarray(e), atol=1e-5)
 
 
+def test_flash_sharded_indivisible_heads_replicates() -> None:
+    """Head counts the mesh axis can't divide must fall back to replication,
+    not slice a head: a single d=64 head under 2-way TP used to trip the
+    packed path's `hd % head_dim` assert (found by the reduced-width SDXL
+    dryrun — its 64-channel attention stage has exactly one head)."""
+    from refiners_tpu.ops.flash_attention import flash_attention_packed
+
+    mesh = make_mesh(data=4, tensor=2)
+
+    # packed layout (B, L, H·D), H=1: the feature axis sharding would split
+    # the head — the partition rule must drop it (GSPMD all-gathers instead)
+    rs = np.random.RandomState(3)
+    qp = jnp.asarray(rs.randn(4, 256, 64).astype(np.float32))
+    kp = jnp.asarray(rs.randn(4, 256, 64).astype(np.float32))
+    vp = jnp.asarray(rs.randn(4, 256, 64).astype(np.float32))
+    expected = flash_attention_packed(qp, kp, vp, head_dim=64)
+    sh = NamedSharding(mesh, P("data", None, "tensor"))
+    out = jax.jit(lambda q, k, v: flash_attention_packed(q, k, v, head_dim=64))(
+        *(jax.device_put(a, sh) for a in (qp, kp, vp))
+    )
+    np.testing.assert_allclose(np.asarray(out), np.asarray(expected), atol=1e-6)
+    # (the flat (B, H, L, D) analog can't be driven from operand shardings —
+    # device_put itself rejects uneven axis splits — but _bh_axes carries the
+    # same guard for shardings GSPMD proposes during propagation)
+
+
 def test_sam_relative_position_bias_flash_sharded() -> None:
     """SAM's decomposed rel-pos attention (the bias-flash user) on the mesh."""
     from refiners_tpu.foundationals.segment_anything.image_encoder import RelativePositionAttention
