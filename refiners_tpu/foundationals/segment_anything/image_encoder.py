@@ -98,20 +98,21 @@ class RelativePositionAttention(fl.WeightedModule):
 
         h_rel, v_rel = self.compute_relative_embedding(query)
 
-        from refiners_tpu.ops.attention import flash_auto
+        from refiners_tpu.ops.attention import flash_auto_relpos
+        from refiners_tpu.ops.flash_attention import flash_attention_relpos
 
-        if flash_auto(query, seq):
+        if flash_auto_relpos(query):
             # long (global-attention) layers ride the Pallas flash kernel with
-            # the decomposed rel-pos as an additive bias — softmax
-            # intermediates stay O(block²) instead of two O(L²) f32 tensors
-            from refiners_tpu.ops.flash_attention import flash_attention
-
-            bias = (v_rel.astype(jnp.float32) + h_rel.astype(jnp.float32)).reshape(bh, seq, seq)
-            out = flash_attention(
+            # the DECOMPOSED rel-pos bias rebuilt on-chip per tile: the
+            # materialized (heads, L, L) f32 bias is ~1 GB per SAM-H global
+            # layer and measured ~8 ms/layer of broadcast+reshape plus a
+            # bias-read-bound kernel — the decomposed operands are 33 MB
+            out = flash_attention_relpos(
                 query.reshape(batch, self.num_heads, seq, self.head_dim),
                 key.reshape(batch, self.num_heads, seq, self.head_dim),
                 value.reshape(batch, self.num_heads, seq, self.head_dim),
-                bias=bias.reshape(batch, self.num_heads, seq, seq),
+                v_rel=v_rel[..., 0].reshape(batch, self.num_heads, seq, -1),
+                h_rel=h_rel[..., 0, :].reshape(batch, self.num_heads, seq, -1),
                 scale=self.head_dim**-0.5,
             ).reshape(bh, seq, self.head_dim)
         else:

@@ -22,6 +22,7 @@ from refiners_tpu.foundationals.segment_anything.image_encoder import SAMViT, SA
 from refiners_tpu.foundationals.segment_anything.mask_decoder import MaskDecoder
 from refiners_tpu.foundationals.segment_anything.prompt_encoder import MaskEncoder, PointEncoder
 from refiners_tpu.foundationals.segment_anything.utils import (
+    compute_scaled_size,
     normalize_coordinates,
     postprocess_masks,
     preprocess_image,
@@ -51,9 +52,28 @@ def _root_chain(module: fl.Chain) -> fl.Chain:
     return node
 
 
-@jax.jit
-def _encode_image(root: fl.Chain, x: jax.Array) -> tuple[jax.Array, dict]:
-    features = root.ensure_find(SAMViT)(x)
+@functools.partial(jax.jit, static_argnums=(2,))
+def _encode_image(root: fl.Chain, x: jax.Array, scaled_size: tuple[int, int]) -> tuple[jax.Array, dict]:
+    """Normalize + pad + ViT encode as ONE compiled program.
+
+    `x` is the host-resized image in [0, 255], already placed on the square
+    encoder canvas (raw zero padding). Normalization runs on device — host
+    numpy elementwise passes over the 1024² canvas and per-op eager
+    dispatches through the TPU tunnel both cost more than the transfer —
+    and the padded region is re-zeroed after normalization so it matches
+    the reference's pad-after-normalize semantics
+    (/root/reference/src/refiners/foundationals/segment_anything/utils.py:46-66).
+    """
+    h, w = scaled_size
+    mean = jnp.asarray([123.675, 116.28, 103.53], dtype=jnp.float32)
+    std = jnp.asarray([58.395, 57.12, 57.375], dtype=jnp.float32)
+    xn = (x.astype(jnp.float32) - mean) / std
+    if h < x.shape[1]:
+        xn = xn.at[:, h:, :, :].set(0.0)
+    if w < x.shape[2]:
+        xn = xn.at[:, :, w:, :].set(0.0)
+    vit = root.ensure_find(SAMViT)
+    features = vit(xn.astype(vit.dtype))
     captured: dict = {}
     for context, key in _CROSS_STAGE_CONTEXTS:
         store = root.provider.get_context(context)
@@ -62,36 +82,48 @@ def _encode_image(root: fl.Chain, x: jax.Array) -> tuple[jax.Array, dict]:
     return features, captured
 
 
-@jax.jit
-def _encode_mask(mask_encoder: "MaskEncoder", low_res_mask: jax.Array) -> jax.Array:
-    return mask_encoder(low_res_mask)
-
-
-@functools.partial(jax.jit, static_argnums=(3,))
-def _decode_masks(
+@functools.partial(jax.jit, static_argnums=(3, 6, 7, 8))
+def _predict_masks(
     root: fl.Chain,
     image_embedding: jax.Array,
     coordinates: jax.Array,
     type_mask_tuple: tuple[tuple[int, ...], ...],
-    mask_embedding: jax.Array,
+    low_res_mask: jax.Array | None,
     captured_contexts: dict,
-) -> tuple[jax.Array, jax.Array]:
-    """Prompt-encode + mask-decode as ONE compiled program.
+    original_size: tuple[int, int],
+    image_encoder_resolution: int,
+    binarize: bool,
+) -> tuple[jax.Array, jax.Array, jax.Array]:
+    """Coordinate-normalize + prompt-encode + mask-encode + mask-decode +
+    mask upsampling + binarize as ONE compiled program.
 
     Eager dispatch here costs one host round-trip per op — ruinous over a
-    remote TPU runtime; jit caches per (structure, shapes). The type mask is
-    STATIC (a tuple): the prompt-padding rule branches on its values on the
-    host, so each prompt configuration (points-only, box, ...) compiles its
-    own specialization — contexts cannot carry it in, as the provider is
-    rebuilt empty when the pytree is unflattened inside the trace. Encoder-
-    stage context values (HQ-SAM's early ViT embedding) arrive as explicit
-    traced arguments and are re-seeded here for the same reason.
+    remote TPU runtime (measured ~0.09 s dispatch+readback floor per
+    standalone call, docs/performance.md) — so everything after the host-side
+    prompt packing is fused into a single device program; jit caches per
+    (structure, shapes). The type mask is STATIC (a tuple): the prompt-padding
+    rule branches on its values on the host, so each prompt configuration
+    (points-only, box, ...) compiles its own specialization — contexts cannot
+    carry it in, as the provider is rebuilt empty when the pytree is
+    unflattened inside the trace. Encoder-stage context values (HQ-SAM's
+    early ViT embedding) arrive as explicit traced arguments and are
+    re-seeded here for the same reason. Binarized masks are bool on device —
+    a 4× smaller readback than f32.
     """
     for context, store in captured_contexts.items():
         root.set_context(context, dict(store))
     point_encoder = root.ensure_find(PointEncoder)
     image_embedding_size = root.ensure_find(SAMViT).image_embedding_size
     mask_decoder = root.ensure_find(MaskDecoder)
+
+    coordinates = normalize_coordinates(coordinates, original_size, image_encoder_resolution)
+
+    if low_res_mask is not None:
+        mask_embedding = root.ensure_find(MaskEncoder)(low_res_mask.transpose(0, 2, 3, 1))  # to NHWC
+    else:
+        mask_embedding = root.ensure_find(MaskEncoder).get_no_mask_dense_embedding(
+            image_embedding_size=image_embedding_size
+        )
 
     type_mask = np.asarray(type_mask_tuple, dtype=np.int32)
     point_encoder.set_type_mask(type_mask=type_mask)
@@ -103,7 +135,12 @@ def _decode_masks(
     mask_decoder.set_mask_embedding(mask_embedding=mask_embedding)
     mask_decoder.set_point_embedding(point_embedding=point_embedding)
     mask_decoder.set_dense_positional_embedding(dense_positional_embedding=dense_positional_embedding)
-    return mask_decoder()
+    low_res_masks, iou_predictions = mask_decoder()
+
+    high_res_masks = postprocess_masks(low_res_masks, original_size, image_encoder_resolution)
+    if binarize:
+        high_res_masks = high_res_masks > SegmentAnything.mask_threshold
+    return high_res_masks, iou_predictions, low_res_masks
 
 
 class SegmentAnything(fl.Chain):
@@ -140,12 +177,26 @@ class SegmentAnything(fl.Chain):
 
     def compute_image_embedding(self, image: Image.Image) -> ImageEmbedding:
         original_size = (image.height, image.width)
-        features, captured = _encode_image(_root_chain(self), self.preprocess_image(image))
+        canvas, scaled_size = self._host_preprocess(image)
+        features, captured = _encode_image(_root_chain(self), canvas, scaled_size)
         return ImageEmbedding(
             features=features,
             original_image_size=original_size,
             captured_contexts=captured,
         )
+
+    def _host_preprocess(self, image: Image.Image) -> tuple[jax.Array, tuple[int, int]]:
+        """Host side of preprocessing: PIL bilinear resize of the long side to
+        the encoder resolution, placed raw ([0, 255] uint8) on the square
+        canvas. One 3 MB uint8 transfer; normalization runs inside the jitted
+        encode program (see `_encode_image`)."""
+        res = self.image_encoder_resolution
+        scaled_size = compute_scaled_size((image.height, image.width), res)
+        h, w = scaled_size
+        resized = image.convert("RGB").resize((w, h), resample=Image.Resampling.BILINEAR)
+        canvas = np.zeros((1, res, res, 3), dtype=np.uint8)
+        canvas[0, :h, :w, :] = np.asarray(resized, dtype=np.uint8)
+        return jnp.asarray(canvas), scaled_size
 
     def predict(
         self,
@@ -165,7 +216,8 @@ class SegmentAnything(fl.Chain):
             captured_contexts = dict(input.captured_contexts or {})
         else:
             original_size = (input.height, input.width)
-            image_embedding, captured_contexts = _encode_image(root, self.preprocess_image(input))
+            canvas, scaled_size = self._host_preprocess(input)
+            image_embedding, captured_contexts = _encode_image(root, canvas, scaled_size)
 
         coordinates, type_mask = self.point_encoder.points_to_tensor(
             foreground_points=foreground_points,
@@ -173,26 +225,17 @@ class SegmentAnything(fl.Chain):
             box_points=box_points,
         )
 
-        if low_res_mask is not None:
-            mask_embedding = _encode_mask(self.mask_encoder, low_res_mask.transpose(0, 2, 3, 1))  # to NHWC
-        else:
-            mask_embedding = self.mask_encoder.get_no_mask_dense_embedding(
-                image_embedding_size=self.image_encoder.image_embedding_size
-            )
-
-        low_res_masks, iou_predictions = _decode_masks(
+        return _predict_masks(
             root,
             image_embedding,
-            self.normalize(coordinates, original_size=original_size),
+            coordinates,
             tuple(tuple(int(v) for v in row) for row in np.asarray(type_mask)),
-            mask_embedding,
+            low_res_mask,
             captured_contexts,
+            original_size,
+            self.image_encoder_resolution,
+            binarize,
         )
-        high_res_masks = self.postprocess_masks(low_res_masks, original_size)
-
-        if binarize:
-            high_res_masks = high_res_masks > self.mask_threshold
-        return high_res_masks, iou_predictions, low_res_masks
 
     @property
     def image_encoder_resolution(self) -> int:
