@@ -434,11 +434,17 @@ class IPAdapter(Generic[T], fl.Chain, Adapter[T]):
 
     @staticmethod
     def convert_to_grid_features(clip_image_encoder: CLIPImageEncoderH) -> CLIPImageEncoderH:
-        """Penultimate-layer grid features: drop pooling + final norm/proj."""
+        """PENULTIMATE-layer grid features: drop pooling + final norm/proj AND
+        the last transformer layer (image_prompt.py:553-564 — the reference
+        pins len==32 for ViT-H; kept layer-count-agnostic here so reduced test
+        encoders work, the pop semantics are what matters)."""
         encoder_clone = clip_image_encoder.structural_copy()
         assert isinstance(encoder_clone[-1], fl.Linear)  # final proj
         assert isinstance(encoder_clone[-2], fl.LayerNorm)  # final normalization
         assert isinstance(encoder_clone[-3], fl.Lambda)  # pooling (classif token)
         for _ in range(3):
             encoder_clone.pop()
+        transformer_layers = encoder_clone[-1]
+        assert isinstance(transformer_layers, fl.Chain) and len(transformer_layers) >= 2
+        transformer_layers.pop()
         return encoder_clone

@@ -421,6 +421,129 @@ def run_sdxl_full(sd) -> np.ndarray:
     return np.asarray(sd.lda.decode(z))
 
 
+def build_ip_adapter_plus():
+    """Fine-grained IP-Adapter with a REAL (reduced) CLIP image encoder: the
+    grid-feature conversion + PerceiverResampler execute inside the golden
+    (round 5 — previously only the injected cross-attn ran reference-free)."""
+    from refiners_tpu.foundationals.clip.image_encoder import CLIPImageEncoder
+    from refiners_tpu.foundationals.latent_diffusion import SD1IPAdapter
+
+    sd = _sd15_stub_clip()
+    enc = CLIPImageEncoder(
+        image_size=32,
+        embedding_dim=64,
+        output_dim=48,
+        patch_size=16,
+        num_layers=32,  # convert_to_grid_features pops the LAST layer — keep ViT-H depth semantics
+        num_attention_heads=4,
+        feedforward_dim=128,
+    )
+    adapter = SD1IPAdapter(sd.unet, clip_image_encoder=enc, fine_grained=True).inject()  # type: ignore[arg-type]
+    return sd, adapter
+
+
+def run_ip_adapter_plus(pair) -> np.ndarray:
+    sd, adapter = pair
+    image = np.random.RandomState(75).randn(1, 32, 32, 3).astype(np.float32)
+    emb = adapter.compute_clip_image_embedding(jnp.asarray(image))
+    adapter.set_clip_image_embedding(emb)
+    return _traj(sd, noise_seed=76, emb_seed=77)
+
+
+def build_controlnet_stack():
+    from refiners_tpu.foundationals.latent_diffusion import SD1ControlnetAdapter
+
+    sd = _sd15_stub_clip()
+    depth = SD1ControlnetAdapter(sd.unet, name="depth", scale=0.3).inject()
+    canny = SD1ControlnetAdapter(sd.unet, name="canny", scale=0.7).inject()
+    return sd, depth, canny
+
+
+def run_controlnet_stack(triple) -> np.ndarray:
+    sd, depth, canny = triple
+    rs = np.random.RandomState(78)
+    depth.set_controlnet_condition(jnp.asarray(rs.rand(1, 128, 128, 3).astype(np.float32)))
+    canny.set_controlnet_condition(jnp.asarray(rs.rand(1, 128, 128, 3).astype(np.float32)))
+    return _traj(sd, noise_seed=79, emb_seed=80)
+
+
+def build_inpainting_refonly():
+    from refiners_tpu.foundationals.latent_diffusion import ReferenceOnlyControlAdapter
+
+    sd = build_inpainting()
+    adapter = ReferenceOnlyControlAdapter(sd.unet).inject()
+    return sd, adapter
+
+
+def run_inpainting_refonly(pair) -> np.ndarray:
+    from PIL import Image
+
+    sd, adapter = pair
+    g = np.random.RandomState(81)
+    target = Image.fromarray((g.rand(128, 128, 3) * 255).astype(np.uint8))
+    mask = Image.fromarray((np.indices((128, 128)).sum(0) // 64 % 2 * 255).astype(np.uint8), mode="L")
+    sd.set_inpainting_conditions(target, mask, latents_size=(_LATENT, _LATENT))
+
+    guide = g.randn(1, _LATENT, _LATENT, 4).astype(np.float32)
+    guide = np.concatenate([guide, guide])
+    step_noises = [g.randn(2, _LATENT, _LATENT, 4).astype(np.float32) for _ in range(_STEPS)]
+
+    def pre_step(step):
+        g_arr = jnp.asarray(guide)
+        noised = sd.solver.add_noise(g_arr, jnp.asarray(step_noises[step]), step)
+        # webui inpaint-variation layout: noised guide + zero mask + raw guide
+        nine = jnp.concatenate([noised, jnp.zeros_like(noised[..., :1]), g_arr], axis=-1)
+        adapter.set_controlnet_condition(nine)
+
+    return _traj(sd, pre_step=pre_step, noise_seed=82, emb_seed=83)
+
+
+def build_lightning_4step():
+    """Full-width SDXL in the Lightning regime: 4-step trailing Euler, no CFG."""
+    import refiners_tpu.fluxion.layers as fl
+    from refiners_tpu.fluxion import manual_seed
+    from refiners_tpu.foundationals.latent_diffusion import SDXLAutoencoder, SDXLUNet, StableDiffusion_XL
+    from refiners_tpu.foundationals.latent_diffusion.solvers import Euler
+    from refiners_tpu.foundationals.latent_diffusion.solvers.solver import (
+        ModelPredictionType,
+        SolverParams,
+        TimestepSpacing,
+    )
+
+    manual_seed(0)
+    sd = StableDiffusion_XL(
+        unet=SDXLUNet(in_channels=4),
+        lda=SDXLAutoencoder(),
+        clip_text_encoder=fl.Chain(fl.Identity()),  # type: ignore[arg-type]
+        solver=Euler(
+            num_inference_steps=4,
+            params=SolverParams(
+                timesteps_spacing=TimestepSpacing.TRAILING,
+                model_prediction_type=ModelPredictionType.NOISE,
+            ),
+        ),
+    )
+    sd.classifier_free_guidance = False
+    return sd
+
+
+def run_lightning_4step(sd) -> np.ndarray:
+    rs = np.random.RandomState(84)
+    emb = jnp.asarray(rs.randn(1, 77, 2048).astype(np.float32))
+    pooled = jnp.asarray(rs.randn(1, 1280).astype(np.float32))
+    noise = jnp.asarray(rs.randn(1, _LATENT, _LATENT, 4).astype(np.float32))
+    x = sd.solver.scale_model_input(noise, step=-1)
+    for step in sd.steps:
+        x = sd(
+            x,
+            step,
+            clip_text_embedding=emb,
+            pooled_text_embedding=pooled,
+            time_ids=sd.default_time_ids,
+        )
+    return np.asarray(sd.lda.decode(x))
+
+
 GOLDENS = {
     "sd15_reduced_10step_128": (build_sd15_reduced, run_sd15_reduced),
     "sd15_full_30step_256": (build_sd15_full, run_sd15_full),
@@ -439,6 +562,10 @@ GOLDENS = {
     "inpainting_10step_128": (build_inpainting, run_inpainting),
     "multi_diffusion_4step_128": (build_multi_diffusion, run_multi_diffusion),
     "sdxl_full_30step_256": (build_sdxl_full, run_sdxl_full),
+    "ip_adapter_plus_10step_128": (build_ip_adapter_plus, run_ip_adapter_plus),
+    "controlnet_stack_10step_128": (build_controlnet_stack, run_controlnet_stack),
+    "inpainting_refonly_10step_128": (build_inpainting_refonly, run_inpainting_refonly),
+    "lightning_4step_128": (build_lightning_4step, run_lightning_4step),
 }
 
 

@@ -422,3 +422,93 @@ def test_textual_inversion_10_step_pipeline(sd_pair) -> None:
     noise = np.random.RandomState(33).randn(1, 4, 32, 32).astype(np.float32)
     image_our, image_ref = _run_traj(ref, ours, noise, emb)
     ensure_similar_images(image_our, image_ref, min_psnr=35, min_ssim=0.98)
+
+
+def _ip_plus_pair(sd_pair, fine_grained: bool, seed: int):
+    """(ref_adapter, our_adapter) IP-Adapter pair on the shared UNets with a
+    REAL reduced CLIP image encoder — the embedding path (grid features +
+    PerceiverResampler or ImageProjection) actually executes, unlike the
+    stubbed pipeline test (VERDICT r4 item 2). 32 encoder layers because the
+    reference's convert_to_grid_features pins the ViT-H layer count
+    (reference image_prompt.py:562); dims are tiny so it stays cheap."""
+    torch.manual_seed(seed)
+    from refiners.foundationals.clip.image_encoder import CLIPImageEncoder as RefEnc
+    from refiners.foundationals.latent_diffusion import SD1IPAdapter as RefIP
+
+    from refiners_tpu.conversion.refiners_compat import load_reference_state_dict
+    from refiners_tpu.foundationals.clip.image_encoder import CLIPImageEncoder
+    from refiners_tpu.foundationals.latent_diffusion import SD1IPAdapter
+
+    ref, ours = sd_pair
+    enc_kwargs = dict(
+        image_size=32,
+        embedding_dim=64,
+        output_dim=48,
+        patch_size=16,
+        num_layers=32 if fine_grained else 2,
+        num_attention_heads=4,
+        feedforward_dim=128,
+    )
+    ref_enc = RefEnc(**enc_kwargs).eval()
+    our_enc = CLIPImageEncoder(**enc_kwargs)
+    load_reference_state_dict(our_enc, {k: v.detach().numpy() for k, v in ref_enc.state_dict().items()})
+
+    ref_adapter = RefIP(ref.unet, clip_image_encoder=ref_enc, fine_grained=fine_grained).inject()  # type: ignore[arg-type]
+    our_adapter = SD1IPAdapter(ours.unet, clip_image_encoder=our_enc, fine_grained=fine_grained).inject()  # type: ignore[arg-type]
+    load_reference_state_dict(
+        our_adapter.image_proj,
+        {k: v.detach().numpy() for k, v in ref_adapter.image_proj.state_dict().items()},
+    )
+    for ref_sub, our_sub in zip(ref_adapter.sub_adapters, our_adapter.sub_adapters):
+        load_reference_state_dict(
+            our_sub.image_cross_attention,
+            {k: v.detach().numpy() for k, v in ref_sub.image_cross_attention.state_dict().items()},
+        )
+    return ref_adapter, our_adapter
+
+
+def test_ip_adapter_plus_10_step_pipeline(sd_pair, inputs) -> None:
+    """Fine-grained (plus) IP-Adapter: grid encoder → PerceiverResampler →
+    injected image cross-attention over the full 10-step trajectory
+    (reference e2e: test_diffusion.py:2045)."""
+    ref, ours = sd_pair
+    ref_adapter, our_adapter = _ip_plus_pair(sd_pair, fine_grained=True, seed=40)
+    image = np.random.RandomState(41).randn(1, 3, 32, 32).astype(np.float32)
+    try:
+        with torch.no_grad():
+            ref_emb = ref_adapter.compute_clip_image_embedding(torch.from_numpy(image.copy()))
+            ref_adapter.set_clip_image_embedding(ref_emb)
+        our_emb = our_adapter.compute_clip_image_embedding(jnp.asarray(image.transpose(0, 2, 3, 1)))
+        np.testing.assert_allclose(np.asarray(our_emb), ref_emb.numpy(), atol=1e-4)
+        our_adapter.set_clip_image_embedding(our_emb)
+        image_our, image_ref = _run_traj(ref, ours, *inputs)
+        ensure_similar_images(image_our, image_ref, min_psnr=35, min_ssim=0.98)
+    finally:
+        ref_adapter.eject()
+        our_adapter.eject()
+
+
+def test_ip_adapter_multi_image_10_step_pipeline(sd_pair, inputs) -> None:
+    """Multi-image IP-Adapter: two weighted image prompts concatenated into a
+    longer token sequence drive the trajectory (reference e2e:
+    test_diffusion.py:1900)."""
+    ref, ours = sd_pair
+    ref_adapter, our_adapter = _ip_plus_pair(sd_pair, fine_grained=False, seed=42)
+    images = np.random.RandomState(43).randn(2, 3, 32, 32).astype(np.float32)
+    weights = [1.0, 0.6]
+    try:
+        with torch.no_grad():
+            ref_emb = ref_adapter.compute_clip_image_embedding(
+                torch.from_numpy(images.copy()), weights=weights
+            )
+            ref_adapter.set_clip_image_embedding(ref_emb)
+        our_emb = our_adapter.compute_clip_image_embedding(
+            jnp.asarray(images.transpose(0, 2, 3, 1)), weights=weights
+        )
+        np.testing.assert_allclose(np.asarray(our_emb), ref_emb.numpy(), atol=1e-4)
+        our_adapter.set_clip_image_embedding(our_emb)
+        image_our, image_ref = _run_traj(ref, ours, *inputs)
+        ensure_similar_images(image_our, image_ref, min_psnr=35, min_ssim=0.98)
+    finally:
+        ref_adapter.eject()
+        our_adapter.eject()
