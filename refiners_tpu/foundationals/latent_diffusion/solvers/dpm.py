@@ -225,8 +225,7 @@ class DPMSolver(Solver):
         variance = self.params.sde_variance
         sde_noise = None
         if variance > 0.0:
-            assert key is not None, "SDE variant needs a PRNG key"
-            sde_noise = jax.random.normal(key, x.shape, dtype=jnp.float32) * variance
+            sde_noise = self._sde_noise(key, x.shape) * variance
 
         use_first = jnp.logical_or(
             step == self.first_inference_step,
@@ -242,6 +241,14 @@ class DPMSolver(Solver):
             second = self._second_order_update(xf, estimate, prev_estimate, step, sde_noise)
             out = jnp.where(use_first, first, second)
         return out.astype(x.dtype), estimate
+
+    def _sde_noise(self, key: jax.Array | None, shape: tuple[int, ...]) -> jax.Array:
+        """SDE noise draw — the reference samples torch.randn(generator)
+        (dpm.py:317-322); here a jax PRNG key threaded through the scan. A
+        separate method so trajectory tests can inject the reference's exact
+        noise sequence."""
+        assert key is not None, "SDE variant needs a PRNG key"
+        return jax.random.normal(key, shape, dtype=jnp.float32)
 
     def init_state(self) -> jax.Array:
         return jnp.zeros(())  # broadcastable placeholder previous estimate

@@ -1,0 +1,330 @@
+"""Adapter-composition wave 2 vs the reference (VERDICT r4 missing #6).
+
+Trajectory-level counterparts of the reference e2e compositions with no repo
+analog until now: ControlNet stack (two ControlNets,
+/root/reference/tests/e2e/test_diffusion.py:1377), ControlNet scale_decay
+(:1248), structural_copy (:1292), IP-Adapter × ControlNet (:1989),
+inpainting × reference-only (:1736), and rectangular init latents (:1087 —
+extended here to a short rectangular denoise). Shared random weights,
+10-step DDIM at 256², same harness as the zoo tier.
+"""
+
+import gc
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+import torch
+
+from tests.ref_compat import reference_available
+from tests.utils import ensure_similar_images
+
+pytestmark = [
+    pytest.mark.skipif(not reference_available(), reason="reference package unavailable"),
+    pytest.mark.slow,
+]
+
+_STEPS = 10
+
+
+@pytest.fixture(scope="module")
+def sd_pair():
+    torch.manual_seed(80)
+    import refiners.fluxion.layers as rfl
+    from refiners.foundationals.latent_diffusion import StableDiffusion_1 as RefSD
+    from refiners.foundationals.latent_diffusion.solvers import DDIM as RefDDIM
+
+    import refiners_tpu.fluxion.layers as fl
+    from refiners_tpu.conversion.refiners_compat import load_reference_state_dict
+    from refiners_tpu.foundationals.latent_diffusion import DDIM, StableDiffusion_1
+
+    ref = RefSD(solver=RefDDIM(num_inference_steps=_STEPS), clip_text_encoder=rfl.Chain(rfl.Identity()))  # type: ignore[arg-type]
+    ref.unet.eval()
+    ref.lda.eval()
+    ours = StableDiffusion_1(solver=DDIM(num_inference_steps=_STEPS), clip_text_encoder=fl.Chain(fl.Identity()))  # type: ignore[arg-type]
+    load_reference_state_dict(ours.unet, {k: v.detach().numpy() for k, v in ref.unet.state_dict().items()})
+    load_reference_state_dict(ours.lda, {k: v.detach().numpy() for k, v in ref.lda.state_dict().items()})
+    yield ref, ours
+    del ref, ours
+    gc.collect()
+
+
+def _run_traj(ref, ours, noise, emb, *, scale=7.5, pre_step_ref=None, pre_step_our=None, atol=5e-3):
+    x_ref = torch.from_numpy(noise.copy())
+    with torch.no_grad():
+        for step in ref.steps:
+            if pre_step_ref is not None:
+                pre_step_ref(step)
+            x_ref = ref(x_ref, step=step, clip_text_embedding=torch.from_numpy(emb.copy()), condition_scale=scale)
+        image_ref = ref.lda.decode(x_ref).numpy()
+
+    x_our = jnp.asarray(noise.transpose(0, 2, 3, 1))
+    for step in ours.steps:
+        if pre_step_our is not None:
+            pre_step_our(step)
+        x_our = ours(x_our, step, clip_text_embedding=jnp.asarray(emb), condition_scale=scale)
+    image_our = np.asarray(ours.lda.decode(x_our)).transpose(0, 3, 1, 2)
+
+    np.testing.assert_allclose(np.asarray(x_our).transpose(0, 3, 1, 2), x_ref.numpy(), atol=atol)
+    return image_our, image_ref
+
+
+def _controlnet_pair(ref, ours, name: str, **kwargs):
+    """Inject a (reference, ours) ControlNet pair and sync its random weights
+    (post-injection state-dict transfer covers the whole injected tree)."""
+    from refiners.foundationals.latent_diffusion import SD1ControlnetAdapter as RefAdapter
+
+    from refiners_tpu.conversion.refiners_compat import load_reference_state_dict
+    from refiners_tpu.foundationals.latent_diffusion import SD1ControlnetAdapter
+
+    ref_adapter = RefAdapter(ref.unet, name=name, **kwargs).inject()
+    our_adapter = SD1ControlnetAdapter(ours.unet, name=name, **kwargs).inject()
+    load_reference_state_dict(ours.unet, {k: v.detach().numpy() for k, v in ref.unet.state_dict().items()})
+    return ref_adapter, our_adapter
+
+
+def test_controlnet_stack_10_step(sd_pair) -> None:
+    """Two ControlNets active simultaneously at different scales (:1377)."""
+    torch.manual_seed(81)
+    ref, ours = sd_pair
+    ref_depth = our_depth = ref_canny = our_canny = None
+    try:
+        ref_depth, our_depth = _controlnet_pair(ref, ours, "depth", scale=0.3)
+        torch.manual_seed(82)
+        ref_canny, our_canny = _controlnet_pair(ref, ours, "canny", scale=0.7)
+
+        rs = np.random.RandomState(83)
+        depth_cond = rs.rand(1, 3, 256, 256).astype(np.float32)
+        canny_cond = rs.rand(1, 3, 256, 256).astype(np.float32)
+        noise = rs.randn(1, 4, 32, 32).astype(np.float32)
+        emb = rs.randn(2, 77, 768).astype(np.float32)
+
+        def pre_ref(step):
+            ref_depth.set_controlnet_condition(torch.from_numpy(depth_cond.copy()))
+            ref_canny.set_controlnet_condition(torch.from_numpy(canny_cond.copy()))
+
+        def pre_our(step):
+            our_depth.set_controlnet_condition(jnp.asarray(depth_cond.transpose(0, 2, 3, 1)))
+            our_canny.set_controlnet_condition(jnp.asarray(canny_cond.transpose(0, 2, 3, 1)))
+
+        image_our, image_ref = _run_traj(ref, ours, noise, emb, pre_step_ref=pre_ref, pre_step_our=pre_our)
+        ensure_similar_images(image_our, image_ref, min_psnr=35, min_ssim=0.98)
+    finally:
+        for a in (ref_canny, our_canny, ref_depth, our_depth):
+            if a is not None:
+                a.eject()
+
+
+def test_controlnet_scale_decay_10_step(sd_pair) -> None:
+    """Per-depth geometric scale decay (webui's 0.825 default, :1248)."""
+    torch.manual_seed(84)
+    ref, ours = sd_pair
+    ref_adapter = our_adapter = None
+    try:
+        ref_adapter, our_adapter = _controlnet_pair(ref, ours, "decay", scale=0.5, scale_decay=0.825)
+        rs = np.random.RandomState(85)
+        cond = rs.rand(1, 3, 256, 256).astype(np.float32)
+        noise = rs.randn(1, 4, 32, 32).astype(np.float32)
+        emb = rs.randn(2, 77, 768).astype(np.float32)
+        ref_adapter.set_controlnet_condition(torch.from_numpy(cond.copy()))
+        our_adapter.set_controlnet_condition(jnp.asarray(cond.transpose(0, 2, 3, 1)))
+        image_our, image_ref = _run_traj(ref, ours, noise, emb)
+        ensure_similar_images(image_our, image_ref, min_psnr=35, min_ssim=0.98)
+    finally:
+        for a in (ref_adapter, our_adapter):
+            if a is not None:
+                a.eject()
+
+
+def test_controlnet_structural_copy_10_step(sd_pair) -> None:
+    """ControlNet injected on a structural_copy: the copy shares weight leaves
+    with the base but owns its topology, so the injection must not leak into
+    the original (:1292)."""
+    torch.manual_seed(86)
+    from refiners_tpu.foundationals.latent_diffusion.stable_diffusion_1 import Controlnet
+
+    ref, ours = sd_pair
+    ref_copy = ref.structural_copy()
+    our_copy = ours.structural_copy()
+    base_signature = [name for name, _ in ours.unet.named_modules()]
+
+    ref_adapter = our_adapter = None
+    try:
+        ref_adapter, our_adapter = _controlnet_pair(ref_copy, our_copy, "copycn", scale=0.5)
+        # the injection must NOT appear in the original models
+        assert [name for name, _ in ours.unet.named_modules()] == base_signature
+        assert not any(isinstance(m, Controlnet) for m in ours.unet)
+
+        rs = np.random.RandomState(87)
+        cond = rs.rand(1, 3, 256, 256).astype(np.float32)
+        noise = rs.randn(1, 4, 32, 32).astype(np.float32)
+        emb = rs.randn(2, 77, 768).astype(np.float32)
+        ref_adapter.set_controlnet_condition(torch.from_numpy(cond.copy()))
+        our_adapter.set_controlnet_condition(jnp.asarray(cond.transpose(0, 2, 3, 1)))
+        image_our, image_ref = _run_traj(ref_copy, our_copy, noise, emb)
+        ensure_similar_images(image_our, image_ref, min_psnr=35, min_ssim=0.98)
+    finally:
+        for a in (ref_adapter, our_adapter):
+            if a is not None:
+                a.eject()
+        del ref_copy, our_copy
+        gc.collect()
+
+
+def test_ip_adapter_controlnet_10_step(sd_pair) -> None:
+    """IP-Adapter × ControlNet composed on one UNet (:1989): image
+    cross-attention adds to every text cross-attention while the ControlNet
+    feeds residuals — the two injections must not interfere."""
+    torch.manual_seed(88)
+    import refiners.fluxion.layers as rfl
+    from refiners.foundationals.clip.image_encoder import CLIPImageEncoderH as RefH
+    from refiners.foundationals.latent_diffusion import SD1IPAdapter as RefIP
+
+    import refiners_tpu.fluxion.layers as fl
+    from refiners_tpu.conversion.refiners_compat import load_reference_state_dict
+    from refiners_tpu.foundationals.latent_diffusion import SD1IPAdapter
+
+    ref, ours = sd_pair
+    ref_enc = RefH.__new__(RefH)
+    torch.nn.Module.__init__(ref_enc)
+    rfl.Chain.__init__(ref_enc)
+    ref_enc.embedding_dim = 1280
+    ref_enc.output_dim = 1024
+    our_enc = fl.Chain()
+    our_enc.embedding_dim = 1280  # type: ignore[attr-defined]
+    our_enc.output_dim = 1024  # type: ignore[attr-defined]
+
+    ref_ip = our_ip = ref_cn = our_cn = None
+    try:
+        ref_ip = RefIP(ref.unet, clip_image_encoder=ref_enc).inject()
+        our_ip = SD1IPAdapter(ours.unet, clip_image_encoder=our_enc).inject()  # type: ignore[arg-type]
+        load_reference_state_dict(
+            our_ip.image_proj, {k: v.detach().numpy() for k, v in ref_ip.image_proj.state_dict().items()}
+        )
+        for ref_sub, our_sub in zip(ref_ip.sub_adapters, our_ip.sub_adapters):
+            load_reference_state_dict(
+                our_sub.image_cross_attention,
+                {k: v.detach().numpy() for k, v in ref_sub.image_cross_attention.state_dict().items()},
+            )
+        torch.manual_seed(89)
+        ref_cn, our_cn = _controlnet_pair(ref, ours, "depth", scale=1.0)
+
+        rs = np.random.RandomState(90)
+        cond = rs.rand(1, 3, 256, 256).astype(np.float32)
+        image_emb = rs.randn(1, 4, 768).astype(np.float32)
+        cfg_image_emb = np.concatenate([np.zeros_like(image_emb), image_emb])
+        noise = rs.randn(1, 4, 32, 32).astype(np.float32)
+        emb = rs.randn(2, 77, 768).astype(np.float32)
+
+        ref_ip.set_clip_image_embedding(torch.from_numpy(cfg_image_emb.copy()))
+        our_ip.set_clip_image_embedding(jnp.asarray(cfg_image_emb))
+        ref_cn.set_controlnet_condition(torch.from_numpy(cond.copy()))
+        our_cn.set_controlnet_condition(jnp.asarray(cond.transpose(0, 2, 3, 1)))
+
+        image_our, image_ref = _run_traj(ref, ours, noise, emb)
+        ensure_similar_images(image_our, image_ref, min_psnr=35, min_ssim=0.98)
+    finally:
+        for a in (ref_cn, our_cn, ref_ip, our_ip):
+            if a is not None:
+                a.eject()
+
+
+def test_inpainting_refonly_10_step() -> None:
+    """Inpainting (9-channel UNet) × reference-only control with the webui
+    9-channel noised guide (:1736)."""
+    torch.manual_seed(91)
+    from PIL import Image
+
+    import refiners.fluxion.layers as rfl
+    from refiners.foundationals.latent_diffusion import StableDiffusion_1_Inpainting as RefInpainting
+    from refiners.foundationals.latent_diffusion.reference_only_control import (
+        ReferenceOnlyControlAdapter as RefRefOnly,
+    )
+    from refiners.foundationals.latent_diffusion.solvers import DDIM as RefDDIM
+
+    import refiners_tpu.fluxion.layers as fl
+    from refiners_tpu.conversion.refiners_compat import load_reference_state_dict
+    from refiners_tpu.foundationals.latent_diffusion import (
+        DDIM,
+        ReferenceOnlyControlAdapter,
+        StableDiffusion_1_Inpainting,
+    )
+
+    ref = RefInpainting(solver=RefDDIM(num_inference_steps=_STEPS), clip_text_encoder=rfl.Chain(rfl.Identity()))  # type: ignore[arg-type]
+    ref.unet.eval()
+    ref.lda.eval()
+    ours = StableDiffusion_1_Inpainting(
+        solver=DDIM(num_inference_steps=_STEPS), clip_text_encoder=fl.Chain(fl.Identity())  # type: ignore[arg-type]
+    )
+    load_reference_state_dict(ours.unet, {k: v.detach().numpy() for k, v in ref.unet.state_dict().items()})
+    load_reference_state_dict(ours.lda, {k: v.detach().numpy() for k, v in ref.lda.state_dict().items()})
+
+    ref_adapter = RefRefOnly(ref.unet).inject()
+    our_adapter = ReferenceOnlyControlAdapter(ours.unet).inject()
+
+    g = np.random.RandomState(92)
+    target = Image.fromarray((g.rand(256, 256, 3) * 255).astype(np.uint8))
+    mask = Image.fromarray((np.indices((256, 256)).sum(0) // 128 % 2 * 255).astype(np.uint8), mode="L")
+    with torch.no_grad():
+        ref.set_inpainting_conditions(target, mask, latents_size=(32, 32))
+    ours.set_inpainting_conditions(target, mask, latents_size=(32, 32))
+
+    guide = g.randn(1, 4, 32, 32).astype(np.float32)
+    guide = np.concatenate([guide, guide])
+    step_noises = [g.randn(2, 4, 32, 32).astype(np.float32) for _ in range(_STEPS)]
+    noise = g.randn(1, 4, 32, 32).astype(np.float32)
+    emb = g.randn(2, 77, 768).astype(np.float32)
+
+    def pre_ref(step):
+        noised = ref.solver.add_noise(
+            torch.from_numpy(guide.copy()), torch.from_numpy(step_noises[step].copy()), step
+        )
+        # webui inpaint-variation layout: noised guide + zero mask + raw guide
+        nine = torch.cat([noised, torch.zeros_like(noised)[:, 0:1], torch.from_numpy(guide.copy())], dim=1)
+        ref_adapter.set_controlnet_condition(nine)
+
+    def pre_our(step):
+        g_nhwc = jnp.asarray(guide.transpose(0, 2, 3, 1))
+        noised = ours.solver.add_noise(g_nhwc, jnp.asarray(step_noises[step].transpose(0, 2, 3, 1)), step)
+        nine = jnp.concatenate([noised, jnp.zeros_like(noised[..., :1]), g_nhwc], axis=-1)
+        our_adapter.set_controlnet_condition(nine)
+
+    image_our, image_ref = _run_traj(ref, ours, noise, emb, pre_step_ref=pre_ref, pre_step_our=pre_our)
+    ensure_similar_images(image_our, image_ref, min_psnr=35, min_ssim=0.98)
+    del ref, ours
+    gc.collect()
+
+
+def test_rectangular_init_latents_and_denoise(sd_pair) -> None:
+    """Non-square init latents through a full (short) denoise + decode
+    (:1087 checks init only; the repo extends it to a rectangular trajectory —
+    the repo previously tested rectangular tiled-VAE but never a rectangular
+    denoise)."""
+    from PIL import Image
+
+    ref, ours = sd_pair
+    rs = np.random.RandomState(93)
+    init_image = Image.fromarray((rs.rand(248, 256, 3) * 255).astype(np.uint8))  # H 248 → latent 31... round to /8
+    init_image = init_image.resize((256, 248))  # (W, H): latent 31×32 — exercise non-square
+    height, width = 248, 256
+
+    noise = rs.randn(1, height // 8, width // 8, 4).astype(np.float32)
+    with torch.no_grad():
+        x_ref = ref.init_latents(
+            (height, width), init_image, noise=torch.from_numpy(noise.transpose(0, 3, 1, 2).copy())
+        )
+    x_our = ours.init_latents((height, width), init_image, noise=jnp.asarray(noise))
+    np.testing.assert_allclose(np.asarray(x_our).transpose(0, 3, 1, 2), x_ref.numpy(), atol=5e-3)
+
+    emb = rs.randn(2, 77, 768).astype(np.float32)
+    with torch.no_grad():
+        for step in ref.steps:
+            x_ref = ref(x_ref, step=step, clip_text_embedding=torch.from_numpy(emb.copy()), condition_scale=7.5)
+        image_ref = ref.lda.decode(x_ref).numpy()
+    for step in ours.steps:
+        x_our = ours(x_our, step, clip_text_embedding=jnp.asarray(emb), condition_scale=7.5)
+    image_our = np.asarray(ours.lda.decode(x_our)).transpose(0, 3, 1, 2)
+
+    assert image_our.shape == (1, 3, height, width)
+    np.testing.assert_allclose(np.asarray(x_our).transpose(0, 3, 1, 2), x_ref.numpy(), atol=5e-3)
+    ensure_similar_images(image_our, image_ref, min_psnr=35, min_ssim=0.98)

@@ -157,3 +157,95 @@ def test_add_remove_noise_match_reference() -> None:
             ref.remove_noise(torch.from_numpy(x.copy()), torch.from_numpy(n.copy()), step).numpy(),
             atol=1e-4,
         )
+
+
+class _TorchEulerSchedulerShim:
+    """Diffusers-like scheduler API over the reference's torch Euler solver —
+    a genuinely external (torch-side) scheduler for FrankenSolver, standing in
+    for diffusers' EulerDiscreteScheduler (not installed in this image; the
+    reference's own test wraps that: /root/reference/tests/foundationals/
+    latent_diffusion/test_solvers.py:147-180)."""
+
+    def __init__(self) -> None:
+        self.inner = None
+
+    def set_timesteps(self, num_inference_steps: int) -> None:
+        from refiners.foundationals.latent_diffusion.solvers import Euler as RefEuler
+
+        self.inner = RefEuler(num_inference_steps=num_inference_steps)
+
+    @property
+    def timesteps(self):
+        return self.inner.timesteps
+
+    @property
+    def init_noise_sigma(self):
+        return self.inner.sigmas.max()
+
+    def _step_index(self, timestep) -> int:
+        matches = (self.inner.timesteps == timestep).nonzero()
+        return int(matches[0].item())
+
+    def scale_model_input(self, sample, timestep):
+        return self.inner.scale_model_input(sample, step=self._step_index(timestep))
+
+    def step(self, model_output, timestep, sample):
+        import types
+
+        prev = self.inner(sample, predicted_noise=model_output, step=self._step_index(timestep))
+        return types.SimpleNamespace(prev_sample=prev)
+
+
+def test_franken_solver_wraps_external_scheduler() -> None:
+    """FrankenSolver over an external torch scheduler reproduces the wrapped
+    scheduler step-for-step AND matches our native Euler trajectory
+    (reference test: test_solvers.py:147-180)."""
+    from refiners_tpu.foundationals.latent_diffusion.solvers import Euler
+    from refiners_tpu.foundationals.latent_diffusion.solvers.franken import FrankenSolver
+
+    direct = _TorchEulerSchedulerShim()
+    direct.set_timesteps(30)
+    solver = FrankenSolver(_TorchEulerSchedulerShim, num_inference_steps=30)
+    ours_euler = Euler(num_inference_steps=30)
+
+    np.testing.assert_array_equal(np.asarray(solver.timesteps), direct.timesteps.numpy())
+
+    # init_noise_sigma via scale_model_input(step=-1)
+    got_sigma = np.asarray(solver.scale_model_input(jnp.ones(()), step=-1))
+    np.testing.assert_allclose(got_sigma, float(direct.init_noise_sigma), rtol=1e-6)
+
+    rs = np.random.RandomState(7)
+    sample = rs.randn(1, 4, 8, 8).astype(np.float32)
+    predicted_noise = rs.randn(1, 4, 8, 8).astype(np.float32)
+
+    for step, timestep in enumerate(direct.timesteps):
+        # per-step scale_model_input parity
+        ref_scaled = direct.scale_model_input(torch.from_numpy(sample.copy()), timestep).numpy()
+        got_scaled = np.asarray(solver.scale_model_input(jnp.asarray(sample), step=step))
+        np.testing.assert_allclose(got_scaled, ref_scaled, atol=1e-6)
+        np.testing.assert_allclose(
+            np.asarray(ours_euler.scale_model_input(jnp.asarray(sample), step=step)), ref_scaled, atol=1e-5
+        )
+
+        ref_out = direct.step(torch.from_numpy(predicted_noise.copy()), timestep, torch.from_numpy(sample.copy()))
+        got = np.asarray(solver(jnp.asarray(sample), jnp.asarray(predicted_noise), step=step))
+        np.testing.assert_allclose(got, ref_out.prev_sample.numpy(), atol=1e-6, err_msg=f"step {step}")
+        np.testing.assert_allclose(
+            np.asarray(ours_euler(jnp.asarray(sample), jnp.asarray(predicted_noise), step=step)),
+            ref_out.prev_sample.numpy(),
+            atol=1e-5,
+        )
+
+
+def test_franken_solver_rebuild() -> None:
+    """rebuild() re-instantiates the wrapped scheduler at the new step count
+    (used by MultiUpscaler's strength→first_step rebuilds)."""
+    from refiners_tpu.foundationals.latent_diffusion.solvers.franken import FrankenSolver
+
+    solver = FrankenSolver(_TorchEulerSchedulerShim, num_inference_steps=30)
+    rebuilt = solver.rebuild(num_inference_steps=10)
+    assert rebuilt.num_inference_steps == 10
+    assert len(np.asarray(rebuilt.timesteps)) == 10
+    direct = _TorchEulerSchedulerShim()
+    direct.set_timesteps(10)
+    np.testing.assert_array_equal(np.asarray(rebuilt.timesteps), direct.timesteps.numpy())
