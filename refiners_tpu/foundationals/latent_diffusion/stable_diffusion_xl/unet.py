@@ -28,10 +28,14 @@ from refiners_tpu.foundationals.latent_diffusion.unet import (
 
 
 class TextTimeEmbedding(fl.Chain):
-    """pooled text embedding + sinusoidal time-ids → 1280-dim embedding (unet.py:20)."""
+    """pooled text embedding + sinusoidal time-ids → 1280-dim embedding (unet.py:20).
 
-    def __init__(self, device: Any = None, dtype: Any = None) -> None:
-        self.timestep_embedding_dim = 1280
+    `timestep_embedding_dim` scales with the UNet width (4·base_channels);
+    the pooled-embedding (1280) and time-ids (256) input dims are part of the
+    public conditioning interface and stay fixed."""
+
+    def __init__(self, timestep_embedding_dim: int = 1280, device: Any = None, dtype: Any = None) -> None:
+        self.timestep_embedding_dim = timestep_embedding_dim
         self.time_ids_embedding_dim = 256
         self.text_time_embedding_dim = 2816
         super().__init__(
@@ -68,20 +72,26 @@ class TextTimeEmbedding(fl.Chain):
 class TimestepEncoder(fl.Passthrough):
     """Sum of timestep RangeEncoder and TextTimeEmbedding (unet.py:57)."""
 
-    def __init__(self, context_key: str = "timestep_embedding", device: Any = None, dtype: Any = None) -> None:
-        self.timestep_embedding_dim = 1280
+    def __init__(
+        self,
+        context_key: str = "timestep_embedding",
+        base_channels: int = 320,
+        device: Any = None,
+        dtype: Any = None,
+    ) -> None:
+        self.timestep_embedding_dim = 4 * base_channels
         super().__init__(
             fl.Sum(
                 fl.Chain(
                     fl.UseContext(context="diffusion", key="timestep"),
                     RangeEncoder(
-                        sinusoidal_embedding_dim=320,
+                        sinusoidal_embedding_dim=base_channels,
                         embedding_dim=self.timestep_embedding_dim,
                         device=device,
                         dtype=dtype,
                     ),
                 ),
-                TextTimeEmbedding(device=device, dtype=dtype),
+                TextTimeEmbedding(timestep_embedding_dim=self.timestep_embedding_dim, device=device, dtype=dtype),
             ),
             fl.SetContext(context="range_adapter", key=context_key),
         )
@@ -143,83 +153,101 @@ def _block(
     return fl.Chain(*layers)
 
 
+def _heads(channels: int) -> int:
+    """SDXL's head count is channels/64 (640→10, 1280→20); the same rule keeps
+    reduced-width test builds valid (head_dim stays 64 or the width itself)."""
+    return max(1, channels // 64)
+
+
 class DownBlocks(fl.Chain):
     """Conv-in, 2 plain 320 blocks, 2×(640, 2-layer attn), 2×(1280, 10-layer
     attn), downsamples between stages (unet.py:115)."""
 
-    def __init__(self, in_channels: int, device: Any = None, dtype: Any = None) -> None:
+    def __init__(self, in_channels: int, base_channels: int = 320, device: Any = None, dtype: Any = None) -> None:
         self.in_channels = in_channels
+        c1, c2, c4 = base_channels, 2 * base_channels, 4 * base_channels
         down = lambda c: fl.Chain(fl.Downsample(channels=c, scale_factor=2, padding=1, device=device, dtype=dtype))
         super().__init__(
             fl.Chain(
-                fl.Conv2d(in_channels=in_channels, out_channels=320, kernel_size=3, padding=1, device=device, dtype=dtype)
+                fl.Conv2d(in_channels=in_channels, out_channels=c1, kernel_size=3, padding=1, device=device, dtype=dtype)
             ),
-            _block(320, 320, None, device, dtype),
-            _block(320, 320, None, device, dtype),
-            down(320),
-            _block(320, 640, (2, 10), device, dtype),
-            _block(640, 640, (2, 10), device, dtype),
-            down(640),
-            _block(640, 1280, (10, 20), device, dtype),
-            _block(1280, 1280, (10, 20), device, dtype),
+            _block(c1, c1, None, device, dtype),
+            _block(c1, c1, None, device, dtype),
+            down(c1),
+            _block(c1, c2, (2, _heads(c2)), device, dtype),
+            _block(c2, c2, (2, _heads(c2)), device, dtype),
+            down(c2),
+            _block(c2, c4, (10, _heads(c4)), device, dtype),
+            _block(c4, c4, (10, _heads(c4)), device, dtype),
         )
 
 
 class UpBlocks(fl.Chain):
-    def __init__(self, device: Any = None, dtype: Any = None) -> None:
+    def __init__(self, base_channels: int = 320, device: Any = None, dtype: Any = None) -> None:
+        c1, c2, c4 = base_channels, 2 * base_channels, 4 * base_channels
         up = lambda c: fl.Upsample(channels=c, device=device, dtype=dtype)
         super().__init__(
-            _block(2560, 1280, (10, 20), device, dtype),
-            _block(2560, 1280, (10, 20), device, dtype),
-            _block(1920, 1280, (10, 20), device, dtype, tail=up(1280)),
-            _block(1920, 640, (2, 10), device, dtype),
-            _block(1280, 640, (2, 10), device, dtype),
-            _block(960, 640, (2, 10), device, dtype, tail=up(640)),
-            _block(960, 320, None, device, dtype),
-            _block(640, 320, None, device, dtype),
-            _block(640, 320, None, device, dtype),
+            _block(2 * c4, c4, (10, _heads(c4)), device, dtype),
+            _block(2 * c4, c4, (10, _heads(c4)), device, dtype),
+            _block(c4 + c2, c4, (10, _heads(c4)), device, dtype, tail=up(c4)),
+            _block(c4 + c2, c2, (2, _heads(c2)), device, dtype),
+            _block(2 * c2, c2, (2, _heads(c2)), device, dtype),
+            _block(c2 + c1, c2, (2, _heads(c2)), device, dtype, tail=up(c2)),
+            _block(c2 + c1, c1, None, device, dtype),
+            _block(2 * c1, c1, None, device, dtype),
+            _block(2 * c1, c1, None, device, dtype),
         )
 
 
 class MiddleBlock(fl.Chain):
-    def __init__(self, device: Any = None, dtype: Any = None) -> None:
+    def __init__(self, base_channels: int = 320, device: Any = None, dtype: Any = None) -> None:
+        c4 = 4 * base_channels
         super().__init__(
-            ResidualBlock(in_channels=1280, out_channels=1280, device=device, dtype=dtype),
+            ResidualBlock(in_channels=c4, out_channels=c4, device=device, dtype=dtype),
             SDXLCrossAttention(
-                channels=1280, num_attention_layers=10, num_attention_heads=20, device=device, dtype=dtype
+                channels=c4, num_attention_layers=10, num_attention_heads=_heads(c4), device=device, dtype=dtype
             ),
-            ResidualBlock(in_channels=1280, out_channels=1280, device=device, dtype=dtype),
+            ResidualBlock(in_channels=c4, out_channels=c4, device=device, dtype=dtype),
         )
 
 
 class OutputBlock(fl.Chain):
-    def __init__(self, device: Any = None, dtype: Any = None) -> None:
+    def __init__(self, base_channels: int = 320, device: Any = None, dtype: Any = None) -> None:
         super().__init__(
-            fl.GroupNorm(channels=320, num_groups=32, device=device, dtype=dtype),
+            fl.GroupNorm(channels=base_channels, num_groups=32, device=device, dtype=dtype),
             fl.SiLU(),
-            fl.Conv2d(in_channels=320, out_channels=4, kernel_size=3, stride=1, padding=1, device=device, dtype=dtype),
+            fl.Conv2d(
+                in_channels=base_channels, out_channels=4, kernel_size=3, stride=1, padding=1, device=device, dtype=dtype
+            ),
         )
 
 
 class SDXLUNet(fl.Chain):
-    """SDXL U-Net; `in_channels` is 4 (unet.py:258)."""
+    """SDXL U-Net; `in_channels` is 4 (unet.py:258).
 
-    def __init__(self, in_channels: int, device: Any = None, dtype: Any = None) -> None:
+    `base_channels` (default 320 — the real model) scales every stage width
+    (320/640/1280 → c/2c/4c) while keeping the full topology: 10 skip
+    residuals, TextTimeEmbedding micro-conditioning, 2048-dim text context,
+    heads = channels/64. Reduced widths exist for mesh dryruns and tests that
+    must face the exact tree paths of the full model."""
+
+    def __init__(self, in_channels: int, base_channels: int = 320, device: Any = None, dtype: Any = None) -> None:
         self.in_channels = in_channels
+        self.base_channels = base_channels
         super().__init__(
-            TimestepEncoder(device=device, dtype=dtype),
-            DownBlocks(in_channels=in_channels, device=device, dtype=dtype),
-            MiddleBlock(device=device, dtype=dtype),
+            TimestepEncoder(base_channels=base_channels, device=device, dtype=dtype),
+            DownBlocks(in_channels=in_channels, base_channels=base_channels, device=device, dtype=dtype),
+            MiddleBlock(base_channels=base_channels, device=device, dtype=dtype),
             fl.Residual(fl.UseContext(context="unet", key="residuals").compose(lambda x: x[-1])),
-            UpBlocks(device=device, dtype=dtype),
-            OutputBlock(device=device, dtype=dtype),
+            UpBlocks(base_channels=base_channels, device=device, dtype=dtype),
+            OutputBlock(base_channels=base_channels, device=device, dtype=dtype),
         )
         for residual_block in self.layers(ResidualBlock):
             chain = residual_block.layer("Chain", fl.Chain)
             RangeAdapter2d(
                 target=chain.layer("Conv2d_1", fl.Conv2d),
                 channels=residual_block.out_channels,
-                embedding_dim=1280,
+                embedding_dim=4 * base_channels,
                 context_key="timestep_embedding",
                 device=device,
                 dtype=dtype,
