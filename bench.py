@@ -54,10 +54,15 @@ def _materialize_on_device(module, dev) -> None:
         module._set_array_by_path(path, arr)
 
 
-def bench_sam(runs: int) -> None:
+def bench_sam(runs: int, breakdown: bool = False, profile: str | None = None) -> None:
     """SAM ViT-H masks/s on the chip: image encode (1024², 32-layer windowed
     rel-pos ViT — the hot kernel) + one point-prompt decode per iteration.
-    BASELINE.json's metric line names 'SAM masks/s' as the second flagship."""
+    BASELINE.json's metric line names 'SAM masks/s' as the second flagship.
+
+    Per predict, the device work is exactly TWO compiled programs (encode,
+    fused prompt-encode+decode+upsample+binarize) plus one 3 MB uint8 image
+    upload and one 3 MB bool mask readback — see
+    refiners_tpu/foundationals/segment_anything/model.py."""
     import time
 
     import jax
@@ -80,11 +85,17 @@ def bench_sam(runs: int) -> None:
     def one() -> float:
         embedding = sam.compute_image_embedding(image)
         masks, iou, _ = sam.predict(embedding, **prompt)
-        total = float(np.asarray(iou, dtype=np.float32).sum()) + float(np.asarray(masks).sum())  # host readback
+        # ONE batched device→host fetch for both outputs (separate np.asarray
+        # calls each pay the tunnel's per-readback RTT)
+        masks_h, iou_h = jax.device_get((masks, iou))
+        total = float(np.asarray(iou_h, dtype=np.float32).sum()) + float(np.count_nonzero(masks_h))
         assert total == total, "non-finite SAM output"
         return float(masks.shape[0] if masks.ndim == 3 else masks.shape[1])
 
     n_masks = one()  # warmup / compile
+    if profile:
+        with jax.profiler.trace(profile):
+            one()
     times: list[float] = []
     for _ in range(runs):
         t0 = time.perf_counter()
@@ -92,6 +103,62 @@ def bench_sam(runs: int) -> None:
         times.append(time.perf_counter() - t0)
     times.sort()
     dt = times[len(times) // 2]
+
+    if breakdown:
+        # Per-phase attribution (VERDICT r4 item 1): host preprocess, the two
+        # device programs (scalar-readback-synced), the full-mask readback,
+        # and the bare dispatch+readback floor a trivial program pays through
+        # the tunnel. Each median-of-`runs`.
+        def med(fn, sync=None):
+            ts = []
+            for _ in range(runs):
+                t0 = time.perf_counter()
+                out = fn()
+                if sync is not None:
+                    sync(out)
+                ts.append(time.perf_counter() - t0)
+            ts.sort()
+            return ts[len(ts) // 2]
+
+        canvas, scaled = sam._host_preprocess(image)
+        t_host_pre = med(lambda: sam._host_preprocess(image))
+
+        from refiners_tpu.foundationals.segment_anything.model import _encode_image, _root_chain
+
+        root = _root_chain(sam)
+        scalar = lambda out: float(jnp.sum(jax.tree.leaves(out)[0].astype(jnp.float32)))  # noqa: E731
+        _ = scalar(_encode_image(root, canvas, scaled))  # compile
+        t_encode = med(lambda: _encode_image(root, canvas, scaled), sync=scalar)
+
+        embedding = sam.compute_image_embedding(image)
+        # decode program + scalar sync (the iou head) — isolates program time
+        t_decode = med(lambda: sam.predict(embedding, **prompt)[1], sync=scalar)
+        # full predict incl. the (N, M, 1024, 1024) bool mask readback
+        t_decode_rb = med(
+            lambda: sam.predict(embedding, **prompt)[0], sync=lambda m: np.asarray(m).sum()
+        )
+
+        trivial = jax.jit(lambda v: v + 1)
+        _ = scalar(trivial(jnp.ones((8, 128), jnp.float32)))
+        t_floor = med(lambda: trivial(jnp.ones((8, 128), jnp.float32)), sync=scalar)
+
+        print(
+            json.dumps(
+                {
+                    "sam_breakdown_s": {
+                        "end_to_end_predict": round(dt, 4),
+                        "host_preprocess": round(t_host_pre, 4),
+                        "encode_program": round(t_encode, 4),
+                        "decode_program": round(t_decode, 4),
+                        "decode_plus_mask_readback": round(t_decode_rb, 4),
+                        "dispatch_readback_floor": round(t_floor, 4),
+                    },
+                    "note": "encode/decode include one dispatch+readback floor each; "
+                    "encode_device ≈ encode_program − floor",
+                }
+            )
+        )
+
     print(
         json.dumps(
             {
@@ -140,7 +207,7 @@ def main() -> None:
     os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/refiners_tpu_xla_cache")
 
     if args.sam:
-        bench_sam(args.runs)
+        bench_sam(args.runs, breakdown=args.breakdown, profile=args.profile)
         return
 
     import jax
@@ -206,8 +273,13 @@ def main() -> None:
     n_dev = len(jax.devices())
     batch = args.batch or (n_dev if args.data_parallel else 1)
 
-    emb = jnp.zeros((2 * batch, 77, 2048), dtype)
-    pooled = jnp.zeros((2 * batch, 1280), dtype)
+    # seeded random conditioning with distinct cond/uncond rows — same FLOPs
+    # as zeros, but the timed program exercises real cross-attn K/V and a
+    # non-trivial CFG combine (mirrors the on-chip correctness gate)
+    import numpy as np
+
+    emb = jnp.asarray(np.random.RandomState(5).randn(2 * batch, 77, 2048), dtype)
+    pooled = jnp.asarray(np.random.RandomState(6).randn(2 * batch, 1280), dtype)
     time_ids = jnp.tile(sd.default_time_ids, (batch, 1))
     x0 = jax.random.normal(jax.random.key(0), (batch, 128, 128, 4), dtype)
 

@@ -102,8 +102,13 @@ def main(mode: str, out_path: str) -> None:
         assert n_quant > 0, "no linears quantized"
         print(f"quantized {n_quant} unet linears (W8A8)")
 
-    emb = jnp.zeros((2, 77, 2048), dtype)
-    pooled = jnp.zeros((2, 1280), dtype)
+    # seeded random text conditioning with DISTINCT cond/uncond rows (VERDICT
+    # r4 weak #2): zero embeddings made cross-attention K/V bias-only
+    # constants and the CFG combine a no-op — the gate could not see drift in
+    # the text-conditioning path or the CFG arithmetic, the two things the
+    # program exists to do. Timing is unaffected (identical FLOPs).
+    emb = jnp.asarray(np.random.RandomState(5).randn(2, 77, 2048), dtype)
+    pooled = jnp.asarray(np.random.RandomState(6).randn(2, 1280), dtype)
     x = jnp.asarray(np.random.RandomState(3).randn(1, 128, 128, 4), dtype)
     tid = jnp.tile(sd.default_time_ids, (1, 1))
 

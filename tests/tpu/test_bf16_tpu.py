@@ -27,6 +27,23 @@ needs_reference = pytest.mark.skipif(
     not (reference_available() and VOCAB.exists()), reason="reference unavailable"
 )
 
+_GATES_PATH = Path(__file__).resolve().parents[2] / "TPU_GATES_r05.json"
+
+
+def _record_gate(name: str, **values: float) -> None:
+    """Persist measured gate values to a committed artifact (VERDICT r4 weak
+    #5: stdout-only PSNRs leave no trace in git — a slide from 34 to 21 would
+    pass the ≥20 floor invisibly)."""
+    import datetime
+    import json
+
+    data: dict = {}
+    if _GATES_PATH.exists():
+        data = json.loads(_GATES_PATH.read_text())
+    data[name] = {**{k: round(v, 3) for k, v in values.items()},
+                  "date": datetime.date.today().isoformat()}
+    _GATES_PATH.write_text(json.dumps(data, indent=1, sort_keys=True) + "\n")
+
 
 @needs_reference
 def test_sd15_txt2img_bf16_on_chip() -> None:
@@ -43,7 +60,9 @@ def test_sd15_txt2img_bf16_on_chip() -> None:
     from tests.utils import compute_psnr, image_to_array
 
     torch.manual_seed(0)
-    steps = 4
+    # the deployed trajectory length, matching the SDXL gate (VERDICT r4
+    # weak #6): drift that compounds over steps is what the gate measures
+    steps = 30
     ref = RefSD(solver=RefDDIM(num_inference_steps=steps))
     for m in (ref.unet, ref.lda, ref.clip_text_encoder):
         m.eval()
@@ -74,6 +93,7 @@ def test_sd15_txt2img_bf16_on_chip() -> None:
     image_our = np.asarray(ours.lda.decode(z).astype(jnp.float32))
 
     psnr = compute_psnr(image_to_array(image_our), image_to_array(image_ref))
+    _record_gate("sd15_512_30step_bf16_vs_torch_f32", psnr=psnr)
     assert psnr >= 20, f"bf16-on-chip PSNR {psnr:.2f} < 20"
 
 
@@ -122,6 +142,7 @@ def test_sdxl_1024_bf16_flash_on_chip(tmp_path_factory) -> None:
     # record the measured value, not just the floor (VERDICT r3 item 7) — a
     # silent regression from e.g. 34 to 21 must be visible in the test log
     print(f"[gate] SDXL 1024² 30-step bf16+flash vs f32: PSNR = {psnr:.2f} (floor 20)")
+    _record_gate("sdxl_1024_30step_bf16_flash_vs_f32_xla", psnr=psnr)
     assert psnr >= 20, f"bf16+flash 1024² PSNR {psnr:.2f} < 20 vs f32 XLA program"
 
 
@@ -140,7 +161,46 @@ def test_sdxl_1024_int8_on_chip(tmp_path_factory) -> None:
     bf16 = _sdxl_1024_image("bf16", out_dir)
     psnr = compute_psnr(image_to_array(int8), image_to_array(bf16))
     print(f"[gate] SDXL 1024² 30-step int8 W8A8 vs bf16: PSNR = {psnr:.2f} (floor 20)")
+    _record_gate("sdxl_1024_30step_int8_w8a8_vs_bf16", psnr=psnr)
     assert psnr >= 20, f"int8 W8A8 1024² PSNR {psnr:.2f} < 20 vs bf16 program"
+
+
+def test_int8_quant_kernel_roundtrip_on_chip() -> None:
+    """Permanent tripwire for the Pallas int8 quantization kernel (VERDICT r4
+    weak #7): the kernel was silently broken on real TPU until round 4's
+    30-step gate first ran it (commit d1a1d9e — pltpu.stochastic_round doesn't
+    lower for int8 on this Mosaic). This seconds-cheap on-chip
+    quantize→dequantize round-trip fails loudly if a Mosaic bump re-breaks it,
+    without needing the slow 30-step gate."""
+    import jax
+    import jax.numpy as jnp
+
+    from refiners_tpu.ops.quant import int8_matmul, quantize_int8
+
+    rows, cols = 640, 384  # non-lane-aligned rows; multiple column blocks
+    w = jax.random.normal(jax.random.key(0), (rows, cols), jnp.float32)
+    values, scales = quantize_int8(w, seed=3)
+    values_np = np.asarray(values)
+    scales_np = np.asarray(scales)
+
+    assert values_np.dtype == np.int8 and scales_np.shape == (1, cols)
+    # the symmetric grid: ±128 must never appear (ADVICE r4 medium — an
+    # unclamped stochastic round can hit 128 on the column-max element)
+    assert values_np.min() >= -127 and values_np.max() <= 127
+    # stochastic rounding reconstructs within half a quantization step + noise
+    recon = values_np.astype(np.float32) * scales_np
+    err = np.abs(recon - np.asarray(w))
+    assert float(err.max()) <= float(scales_np.max()) * 1.01, "dequant error exceeds one grid step"
+    # at least some stochastic draws must actually round (not all-floor)
+    det = np.clip(np.round(np.asarray(w) / scales_np), -127, 127).astype(np.int8)
+    assert (values_np != det).any(), "stochastic rounding degenerated to deterministic"
+
+    # the W8A8 matmul path runs on chip and stays close to the f32 product
+    x = jax.random.normal(jax.random.key(1), (8, rows), jnp.float32)
+    got = np.asarray(int8_matmul(x, values, scales))
+    expected = np.asarray(x) @ np.asarray(w)
+    rel = np.abs(got - expected).mean() / (np.abs(expected).mean() + 1e-8)
+    assert rel < 0.05, f"int8 matmul rel err {rel:.4f}"
 
 
 def test_sam_predict_bf16_on_chip() -> None:
@@ -170,4 +230,5 @@ def test_sam_predict_bf16_on_chip() -> None:
     got = np.asarray(jax.jit(lambda m, v: m(v))(vit, x.astype(jnp.bfloat16)).astype(jnp.float32))
     assert got.shape == expected.shape
     rel = np.abs(got - expected).mean() / (np.abs(expected).mean() + 1e-8)
+    _record_gate("sam_vit_1024_bf16_flash_relpos_vs_f32_xla", mean_rel_err=float(rel))
     assert rel < 0.05, f"bf16 flash path diverges: mean rel err {rel:.4f}"
