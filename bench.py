@@ -54,7 +54,7 @@ def _materialize_on_device(module, dev) -> None:
         module._set_array_by_path(path, arr)
 
 
-def bench_sam(runs: int, breakdown: bool = False, profile: str | None = None) -> None:
+def bench_sam(runs: int, breakdown: bool = False, profile: str | None = None, pipeline: int = 0) -> None:
     """SAM ViT-H masks/s on the chip: image encode (1024², 32-layer windowed
     rel-pos ViT — the hot kernel) + one point-prompt decode per iteration.
     BASELINE.json's metric line names 'SAM masks/s' as the second flagship.
@@ -159,17 +159,46 @@ def bench_sam(runs: int, breakdown: bool = False, profile: str | None = None) ->
             )
         )
 
-    print(
-        json.dumps(
-            {
-                "synthetic_weights": True,
-                "metric": "SAM ViT-H 1024² encode + point-prompt decode (bf16, single v5e chip)",
-                "value": round(n_masks / dt, 4),
-                "unit": "masks/s",
-                "per_predict_s": round(dt, 4),
-            }
-        )
-    )
+    result = {
+        "synthetic_weights": True,
+        "metric": "SAM ViT-H 1024² encode + point-prompt decode (bf16, single v5e chip)",
+        "value": round(n_masks / dt, 4),
+        "unit": "masks/s",
+        "per_predict_s": round(dt, 4),
+    }
+
+    if pipeline:
+        # Throughput mode (predict_pipelined): every request's programs are
+        # enqueued before any readback, so the tunnel transfer of request i
+        # overlaps the device compute of requests i+1… — this measures the
+        # serving rate, where the serial number above measures latency.
+        # Distinct prompt points per request (same compiled specialization,
+        # as in real point-prompt serving).
+        prompts_n = [dict(foreground_points=[(64.0 + 896.0 * i / pipeline, 512.0)]) for i in range(pipeline)]
+        images_n = [image] * pipeline
+
+        def batch() -> float:
+            outs = sam.predict_pipelined(images_n, prompts_n)
+            total = sum(float(np.count_nonzero(m)) + float(i.sum()) for m, i, _ in outs)
+            assert total == total, "non-finite SAM output"
+            return float(outs[0][0].shape[0] if outs[0][0].ndim == 3 else outs[0][0].shape[1])
+
+        n_masks_p = batch()  # warmup (prompt specializations compile once)
+        pts: list[float] = []
+        for _ in range(runs):
+            t0 = time.perf_counter()
+            n_masks_p = batch()
+            pts.append(time.perf_counter() - t0)
+        pts.sort()
+        per_predict = pts[len(pts) // 2] / pipeline
+        result["pipelined"] = {
+            "requests": pipeline,
+            "value": round(n_masks_p / per_predict, 4),
+            "unit": "masks/s",
+            "per_predict_s": round(per_predict, 4),
+        }
+
+    print(json.dumps(result))
 
 
 def main() -> None:
@@ -185,6 +214,13 @@ def main() -> None:
         "--sam",
         action="store_true",
         help="benchmark the second flagship instead: SAM ViT-H masks/s (encode + point decode)",
+    )
+    parser.add_argument(
+        "--pipeline",
+        type=int,
+        default=0,
+        metavar="N",
+        help="with --sam: also measure predict_pipelined serving throughput over N overlapped requests",
     )
     # median over 5: a single depressed run (host core still draining prior
     # work, tunnel hiccup) must not set the headline number
@@ -207,7 +243,7 @@ def main() -> None:
     os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/refiners_tpu_xla_cache")
 
     if args.sam:
-        bench_sam(args.runs, breakdown=args.breakdown, profile=args.profile)
+        bench_sam(args.runs, breakdown=args.breakdown, profile=args.profile, pipeline=args.pipeline)
         return
 
     import jax

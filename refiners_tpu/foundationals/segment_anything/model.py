@@ -237,6 +237,34 @@ class SegmentAnything(fl.Chain):
             binarize,
         )
 
+    def predict_pipelined(
+        self,
+        inputs: Sequence[Image.Image | ImageEmbedding],
+        prompts: Sequence[dict[str, Any]],
+        binarize: bool = True,
+    ) -> list[tuple[np.ndarray, np.ndarray, np.ndarray]]:
+        """Throughput-oriented serving loop over many requests.
+
+        `predict` never syncs (JAX dispatch is asynchronous), so every
+        request's device programs are enqueued BEFORE any result is read
+        back; the device→host transfer of request i then overlaps the device
+        compute of requests i+1… . On a remote-runtime link with a
+        per-round-trip dispatch/readback floor this hides most of the
+        per-predict host overhead that serial `predict` + fetch pays
+        (measured: docs/performance.md "SAM ViT-H" section). Results come
+        back as host numpy triples (masks, iou_predictions, low_res_masks)
+        in request order; each triple is fetched in one batched transfer.
+
+        TPU-serving addition — the reference facade
+        (/root/reference/src/refiners/foundationals/segment_anything/model.py:97)
+        only exposes per-request `predict`.
+        """
+        pending = [
+            self.predict(image, binarize=binarize, **prompt)
+            for image, prompt in zip(inputs, prompts, strict=True)
+        ]
+        return [tuple(np.asarray(a) for a in jax.device_get(out)) for out in pending]
+
     @property
     def image_encoder_resolution(self) -> int:
         w, h = self.image_encoder.image_size
