@@ -17,27 +17,34 @@ pytestmark = pytest.mark.skipif(not reference_available(), reason="reference pac
 
 
 @pytest.mark.slow
-def test_multi_diffusion_panorama_matches_reference() -> None:
+@pytest.mark.parametrize("solver_name", ["ddim", "dpm"])
+def test_multi_diffusion_panorama_matches_reference(solver_name: str) -> None:
+    """DDIM analog of the reference's test_multi_diffusion (:2283); the "dpm"
+    case is test_multi_diffusion_dpm (:2315) — a MULTISTEP solver per tile,
+    so each target's first-order/second-order state must thread correctly
+    through the weighted tile merge."""
     torch.manual_seed(4)
     from refiners.foundationals.latent_diffusion import StableDiffusion_1 as RefSD
     from refiners.foundationals.latent_diffusion.multi_diffusion import MultiDiffusion as RefMD
-    from refiners.foundationals.latent_diffusion.solvers import DDIM as RefDDIM
+    from refiners.foundationals.latent_diffusion.solvers import DDIM as RefDDIM, DPMSolver as RefDPM
     from refiners.foundationals.latent_diffusion.stable_diffusion_1.multi_diffusion import (
         SD1DiffusionTarget as RefTarget,
         SD1MultiDiffusion as RefSD1MD,
     )
 
     from refiners_tpu.conversion.refiners_compat import load_reference_state_dict
-    from refiners_tpu.foundationals.latent_diffusion import DDIM, MultiDiffusion, StableDiffusion_1
+    from refiners_tpu.foundationals.latent_diffusion import DDIM, DPMSolver, MultiDiffusion, StableDiffusion_1
     from refiners_tpu.foundationals.latent_diffusion.stable_diffusion_1.multi_diffusion import (
         SD1DiffusionTarget,
         SD1MultiDiffusion,
     )
 
-    steps = 2
-    ref_sd = RefSD(solver=RefDDIM(num_inference_steps=steps))
+    steps = 3 if solver_name == "dpm" else 2  # ≥3 exercises DPM's second-order update
+    RefSolver = RefDPM if solver_name == "dpm" else RefDDIM
+    OurSolver = DPMSolver if solver_name == "dpm" else DDIM
+    ref_sd = RefSD(solver=RefSolver(num_inference_steps=steps))
     ref_sd.unet.eval()
-    our_sd = StableDiffusion_1(solver=DDIM(num_inference_steps=steps))
+    our_sd = StableDiffusion_1(solver=OurSolver(num_inference_steps=steps))
     load_reference_state_dict(our_sd.unet, {k: v.detach().numpy() for k, v in ref_sd.unet.state_dict().items()})
 
     from refiners.fluxion.utils import no_grad
@@ -57,7 +64,7 @@ def test_multi_diffusion_panorama_matches_reference() -> None:
 
     ref_md = RefSD1MD(ref_sd)
     ref_targets = [
-        RefTarget(tile=t, solver=RefDDIM(num_inference_steps=steps), clip_text_embedding=torch.from_numpy(emb.copy()))
+        RefTarget(tile=t, solver=RefSolver(num_inference_steps=steps), clip_text_embedding=torch.from_numpy(emb.copy()))
         for t in ref_tiles
     ]
     x_ref = torch.from_numpy(noise.copy())
@@ -69,7 +76,7 @@ def test_multi_diffusion_panorama_matches_reference() -> None:
 
     our_md = SD1MultiDiffusion(our_sd)
     our_targets = [
-        SD1DiffusionTarget(tile=t, solver=DDIM(num_inference_steps=steps), clip_text_embedding=jnp.asarray(emb))
+        SD1DiffusionTarget(tile=t, solver=OurSolver(num_inference_steps=steps), clip_text_embedding=jnp.asarray(emb))
         for t in our_tiles
     ]
     x_our = jnp.asarray(noise.transpose(0, 2, 3, 1))
