@@ -328,3 +328,131 @@ def test_rectangular_init_latents_and_denoise(sd_pair) -> None:
     assert image_our.shape == (1, 3, height, width)
     np.testing.assert_allclose(np.asarray(x_our).transpose(0, 3, 1, 2), x_ref.numpy(), atol=5e-3)
     ensure_similar_images(image_our, image_ref, min_psnr=35, min_ssim=0.98)
+
+
+def test_init_image_first_step_10_step(sd_pair) -> None:
+    """img2img: init_latents(init_image) noised at first_step=3, then the
+    tail of the schedule only (reference test_diffusion_std_init_image,
+    /root/reference/tests/e2e/test_diffusion.py:1058). Covers first_step > 0
+    interacting with add_noise, scale_model_input and the trajectory."""
+    from PIL import Image
+
+    ref, ours = sd_pair
+    rs = np.random.RandomState(95)
+    init_image = Image.fromarray((rs.rand(256, 256, 3) * 255).astype(np.uint8))
+    noise = rs.randn(1, 32, 32, 4).astype(np.float32)
+    emb = rs.randn(2, 77, 768).astype(np.float32)
+    try:
+        ref.set_inference_steps(_STEPS, first_step=3)
+        ours.set_inference_steps(_STEPS, first_step=3)
+        assert ref.steps == list(range(3, _STEPS)) and ours.steps == list(range(3, _STEPS))
+
+        with torch.no_grad():
+            x_ref = ref.init_latents((256, 256), init_image, noise=torch.from_numpy(noise.transpose(0, 3, 1, 2).copy()))
+        x_our = ours.init_latents((256, 256), init_image, noise=jnp.asarray(noise))
+        np.testing.assert_allclose(np.asarray(x_our).transpose(0, 3, 1, 2), x_ref.numpy(), atol=5e-3)
+
+        with torch.no_grad():
+            for step in ref.steps:
+                x_ref = ref(x_ref, step=step, clip_text_embedding=torch.from_numpy(emb.copy()), condition_scale=7.5)
+            image_ref = ref.lda.decode(x_ref).numpy()
+        for step in ours.steps:
+            x_our = ours(x_our, step, clip_text_embedding=jnp.asarray(emb), condition_scale=7.5)
+        image_our = np.asarray(ours.lda.decode(x_our)).transpose(0, 3, 1, 2)
+
+        np.testing.assert_allclose(np.asarray(x_our).transpose(0, 3, 1, 2), x_ref.numpy(), atol=5e-3)
+        ensure_similar_images(image_our, image_ref, min_psnr=35, min_ssim=0.98)
+    finally:
+        ref.set_inference_steps(_STEPS, first_step=0)
+        ours.set_inference_steps(_STEPS, first_step=0)
+
+
+def test_hello_world_stack_10_step(sd_pair) -> None:
+    """The reference's "hello world" composition (test_hello_world, :2503):
+    IP-Adapter × T2I-Adapter × SAG × img2img (first_step=1) all active in one
+    trajectory. The reference runs it on SDXL; this is the SD1 analog with
+    the identical adapter stack — each pairwise interaction is what the case
+    exists to catch (image cross-attn + condition features + the SAG
+    degraded-latent second pass must all compose)."""
+    torch.manual_seed(96)
+    from PIL import Image
+
+    import refiners.fluxion.layers as rfl
+    from refiners.foundationals.clip.image_encoder import CLIPImageEncoderH as RefH
+    from refiners.foundationals.latent_diffusion import SD1IPAdapter as RefIP
+    from refiners.foundationals.latent_diffusion import SD1T2IAdapter as RefT2I
+
+    import refiners_tpu.fluxion.layers as fl
+    from refiners_tpu.conversion.refiners_compat import load_reference_state_dict
+    from refiners_tpu.foundationals.latent_diffusion import SD1IPAdapter, SD1T2IAdapter
+
+    ref, ours = sd_pair
+    ref_enc = RefH.__new__(RefH)
+    torch.nn.Module.__init__(ref_enc)
+    rfl.Chain.__init__(ref_enc)
+    ref_enc.embedding_dim = 1280
+    ref_enc.output_dim = 1024
+    our_enc = fl.Chain()
+    our_enc.embedding_dim = 1280  # type: ignore[attr-defined]
+    our_enc.output_dim = 1024  # type: ignore[attr-defined]
+
+    ref_ip = our_ip = ref_t2i = our_t2i = None
+    try:
+        ref_ip = RefIP(ref.unet, clip_image_encoder=ref_enc, scale=0.85).inject()
+        our_ip = SD1IPAdapter(ours.unet, clip_image_encoder=our_enc, scale=0.85).inject()  # type: ignore[arg-type]
+        load_reference_state_dict(
+            our_ip.image_proj, {k: v.detach().numpy() for k, v in ref_ip.image_proj.state_dict().items()}
+        )
+        for ref_sub, our_sub in zip(ref_ip.sub_adapters, our_ip.sub_adapters):
+            load_reference_state_dict(
+                our_sub.image_cross_attention,
+                {k: v.detach().numpy() for k, v in ref_sub.image_cross_attention.state_dict().items()},
+            )
+        torch.manual_seed(97)
+        ref_t2i = RefT2I(ref.unet, name="canny", scale=0.8).inject()
+        our_t2i = SD1T2IAdapter(ours.unet, name="canny", scale=0.8).inject()
+        load_reference_state_dict(
+            our_t2i.condition_encoder,
+            {k: v.detach().numpy() for k, v in ref_t2i.condition_encoder.state_dict().items()},
+        )
+
+        rs = np.random.RandomState(98)
+        image_emb = rs.randn(1, 4, 768).astype(np.float32)
+        cfg_image_emb = np.concatenate([np.zeros_like(image_emb), image_emb])
+        ref_ip.set_clip_image_embedding(torch.from_numpy(cfg_image_emb.copy()))
+        our_ip.set_clip_image_embedding(jnp.asarray(cfg_image_emb))
+
+        condition = rs.rand(1, 3, 256, 256).astype(np.float32)
+        with torch.no_grad():
+            ref_t2i.set_condition_features(ref_t2i.compute_condition_features(torch.from_numpy(condition.copy())))
+        our_t2i.set_condition_features(our_t2i.compute_condition_features(jnp.asarray(condition.transpose(0, 2, 3, 1))))
+
+        ref.set_self_attention_guidance(enable=True, scale=0.75)
+        ours.set_self_attention_guidance(enable=True, scale=0.75)
+        ref.set_inference_steps(_STEPS, first_step=1)
+        ours.set_inference_steps(_STEPS, first_step=1)
+
+        init_image = Image.fromarray((rs.rand(256, 256, 3) * 255).astype(np.uint8))
+        noise = rs.randn(1, 32, 32, 4).astype(np.float32)
+        emb = rs.randn(2, 77, 768).astype(np.float32)
+
+        with torch.no_grad():
+            x_ref = ref.init_latents((256, 256), init_image, noise=torch.from_numpy(noise.transpose(0, 3, 1, 2).copy()))
+            for step in ref.steps:
+                x_ref = ref(x_ref, step=step, clip_text_embedding=torch.from_numpy(emb.copy()), condition_scale=7.5)
+            image_ref = ref.lda.decode(x_ref).numpy()
+        x_our = ours.init_latents((256, 256), init_image, noise=jnp.asarray(noise))
+        for step in ours.steps:
+            x_our = ours(x_our, step, clip_text_embedding=jnp.asarray(emb), condition_scale=7.5)
+        image_our = np.asarray(ours.lda.decode(x_our)).transpose(0, 3, 1, 2)
+
+        np.testing.assert_allclose(np.asarray(x_our).transpose(0, 3, 1, 2), x_ref.numpy(), atol=5e-3)
+        ensure_similar_images(image_our, image_ref, min_psnr=35, min_ssim=0.98)
+    finally:
+        ref.set_self_attention_guidance(enable=False)
+        ours.set_self_attention_guidance(enable=False)
+        ref.set_inference_steps(_STEPS, first_step=0)
+        ours.set_inference_steps(_STEPS, first_step=0)
+        for a in (ref_t2i, our_t2i, ref_ip, our_ip):
+            if a is not None:
+                a.eject()
